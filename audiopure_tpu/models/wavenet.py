@@ -1,0 +1,145 @@
+"""DiffWave WaveNet epsilon-network in flax.
+
+TPU-native redesign of the reference score net
+(``diffusion_models/DiffWave_Unconditional/WaveNet.py:23-172``): an initial
+1x1 conv + ReLU, ``num_res_layers`` gated dilated-conv residual blocks with
+per-block FiLM-style timestep conditioning, skip-sum, and a final
+conv -> ReLU -> zero-init conv head.
+
+TPU-first choices:
+
+* Internal layout is NWC ``(B, L, C)``: length maps to MXU rows, channels to
+  lanes, so the k=3 dilated convs (256 -> 512 ch) tile directly onto the MXU.
+  The public API still takes the reference's ``(B, 1, L)``.
+* Weight normalization is *fused*: the reference trains with
+  ``nn.utils.weight_norm`` (``WaveNet.py:28,67,72``) which at inference is an
+  ordinary conv with ``w = g * v/||v||``; we parametrize the fused weight
+  directly, and the checkpoint converter folds ``weight_g/weight_v`` on
+  import (see ``utils/torch_convert.py``).
+* The whole net is a single traced function — no Python control flow — so the
+  reverse-diffusion ``lax.scan`` holds one compiled step for every t.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from audiopure_tpu.diffusion.schedule import diffusion_step_embedding
+
+
+def swish(x):
+    return x * nn.sigmoid(x)
+
+
+class ResidualBlock(nn.Module):
+    """Gated dilated-conv residual block (reference ``WaveNet.py:53-97``)."""
+
+    res_channels: int
+    skip_channels: int
+    dilation: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t_embed):
+        # x: (B, L, C_res); t_embed: (B, D_out)
+        part_t = nn.Dense(self.res_channels, name="fc_t",
+                          dtype=self.dtype)(t_embed)
+        h = x + part_t[:, None, :]
+
+        h = nn.Conv(
+            features=2 * self.res_channels,
+            kernel_size=(3,),
+            kernel_dilation=(self.dilation,),
+            padding="SAME",
+            name="dilated_conv",
+            dtype=self.dtype,
+        )(h)
+
+        gate = jnp.tanh(h[..., : self.res_channels]) * nn.sigmoid(
+            h[..., self.res_channels:]
+        )
+
+        res = nn.Conv(self.res_channels, (1,), name="res_conv",
+                      dtype=self.dtype)(gate)
+        skip = nn.Conv(self.skip_channels, (1,), name="skip_conv",
+                       dtype=self.dtype)(gate)
+        return (x + res) * math.sqrt(0.5), skip
+
+
+class WaveNet(nn.Module):
+    """DiffWave epsilon-predictor.
+
+    ``__call__(audio, diffusion_steps)`` with audio ``(B, 1, L)`` and steps
+    ``(B, 1)`` returns epsilon_theta of shape ``(B, 1, L)`` — the same
+    contract as ``WaveNet_Speech_Commands.forward`` (``WaveNet.py:164-172``).
+    """
+
+    in_channels: int = 1
+    res_channels: int = 256
+    skip_channels: int = 256
+    out_channels: int = 1
+    num_res_layers: int = 36
+    dilation_cycle: int = 12
+    diffusion_step_embed_dim_in: int = 128
+    diffusion_step_embed_dim_mid: int = 512
+    diffusion_step_embed_dim_out: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, audio: jnp.ndarray,
+                 diffusion_steps: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.swapaxes(audio, 1, 2)  # (B, 1, L) -> (B, L, 1) NWC
+
+        # timestep embedding: sinusoidal -> 2 swish MLP layers
+        emb = diffusion_step_embedding(
+            diffusion_steps, self.diffusion_step_embed_dim_in
+        ).astype(self.dtype)
+        emb = swish(nn.Dense(self.diffusion_step_embed_dim_mid,
+                             name="fc_t1", dtype=self.dtype)(emb))
+        emb = swish(nn.Dense(self.diffusion_step_embed_dim_out,
+                             name="fc_t2", dtype=self.dtype)(emb))
+
+        # init conv1x1 + relu
+        h = nn.Conv(self.res_channels, (1,), name="init_conv",
+                    dtype=self.dtype)(x)
+        h = nn.relu(h)
+
+        skip_sum = 0.0
+        for n in range(self.num_res_layers):
+            h, skip = ResidualBlock(
+                res_channels=self.res_channels,
+                skip_channels=self.skip_channels,
+                dilation=2 ** (n % self.dilation_cycle),
+                name=f"res_block_{n}",
+                dtype=self.dtype,
+            )(h, emb)
+            skip_sum = skip_sum + skip
+        h = skip_sum * math.sqrt(1.0 / self.num_res_layers)
+
+        # final conv1x1 -> relu -> zero-init conv1x1
+        h = nn.relu(nn.Conv(self.skip_channels, (1,), name="final_conv1",
+                            dtype=self.dtype)(h))
+        h = nn.Conv(self.out_channels, (1,), name="final_conv2",
+                    kernel_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.zeros, dtype=self.dtype)(h)
+
+        return jnp.swapaxes(h, 1, 2)  # (B, L, C_out) -> (B, C_out, L)
+
+
+def make_wavenet(cfg) -> WaveNet:
+    """Build from a ``WaveNetConfig`` (see ``config.py``)."""
+    return WaveNet(
+        in_channels=cfg.in_channels,
+        res_channels=cfg.res_channels,
+        skip_channels=cfg.skip_channels,
+        out_channels=cfg.out_channels,
+        num_res_layers=cfg.num_res_layers,
+        dilation_cycle=cfg.dilation_cycle,
+        diffusion_step_embed_dim_in=cfg.diffusion_step_embed_dim_in,
+        diffusion_step_embed_dim_mid=cfg.diffusion_step_embed_dim_mid,
+        diffusion_step_embed_dim_out=cfg.diffusion_step_embed_dim_out,
+    )

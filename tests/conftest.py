@@ -1,0 +1,23 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+This is the fake-backend strategy the reference lacks (SURVEY.md §4): all
+multi-chip sharding tests execute on host CPU devices so the suite runs
+anywhere; the real TPU is exercised by bench.py.
+
+NOTE: this environment's TPU plugin pins ``jax_platforms`` programmatically
+at interpreter startup, so the env var alone is not enough — we must override
+via ``jax.config.update`` before any backend is initialized.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
