@@ -1,0 +1,131 @@
+"""Analytic tests of the DDPM and VP-SDE purifiers.
+
+With a zero epsilon-net every step has a closed form, which pins down the
+reference's quirky indexing (disc index = t-k-1, diffusion scale factor,
+noise-only-for-t>0) without needing checkpoints.
+Reference semantics: ``diffwave_ddpm.py:49-104``, ``diffwave_sde.py:69-134``.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audiopure_tpu.diffusion import make_schedule
+from audiopure_tpu.diffusion.ddpm import DDPMPurifier, RepeatedPurifier
+from audiopure_tpu.diffusion.vpsde import RevDiffWave, RevVPSDE
+
+ZERO_EPS = lambda x, t: jnp.zeros_like(x)
+SCHED = make_schedule(200, 1e-4, 0.02)
+
+
+def test_diffuse_statistics():
+    ddpm = DDPMPurifier(ZERO_EPS, SCHED, reverse_timestep=50)
+    x0 = jnp.ones((4096, 1, 8))
+    xt = ddpm.diffuse(x0, jax.random.PRNGKey(0))
+    abar = float(SCHED.alpha_bar[49])
+    got_mean = float(jnp.mean(xt))
+    got_std = float(jnp.std(xt))
+    assert abs(got_mean - np.sqrt(abar)) < 0.01
+    assert abs(got_std - np.sqrt(1 - abar)) < 0.01
+
+
+def test_reverse_t1_closed_form():
+    """t=1 reverse with zero eps: x0 = x / sqrt(alpha_0), no noise at t=0."""
+    ddpm = DDPMPurifier(ZERO_EPS, SCHED, reverse_timestep=1)
+    x = jnp.ones((2, 1, 16)) * 0.5
+    out = ddpm.reverse(x, jax.random.PRNGKey(0))
+    want = 0.5 / np.sqrt(float(SCHED.alpha[0]))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6)
+
+
+def test_reverse_multi_step_deterministic_part():
+    """Replay the scan in numpy: with zero eps the reverse loop is
+    x <- (x - (1-a_t)/sqrt(1-abar_t)*0)/sqrt(a_t) + sigma_t*z; with a
+    fixed PRNG the JAX and numpy paths see the same z sequence only if we
+    zero the noise -- so compare against sigma=0 replay using eps=0 and
+    noiseless mu recursion on the mean."""
+    t = 5
+    ddpm = DDPMPurifier(ZERO_EPS, SCHED, reverse_timestep=t)
+    # big batch: E[x0] should match the deterministic mu recursion
+    x = jnp.ones((8192, 1, 4)) * 0.3
+    out = np.asarray(ddpm.reverse(x, jax.random.PRNGKey(1)))
+    mu = 0.3
+    for step in range(t - 1, -1, -1):
+        mu = mu / np.sqrt(float(SCHED.alpha[step]))
+    assert abs(out.mean() - mu) < 5e-3
+
+
+def test_one_shot_denoise_zero_eps():
+    ddpm = DDPMPurifier(ZERO_EPS, SCHED, reverse_timestep=10)
+    x = jnp.ones((1, 1, 8)) * 0.2
+    out = ddpm.one_shot_denoise(x)
+    want = 0.2 * np.sqrt(1.0 / float(SCHED.alpha_bar[9]))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5)
+
+
+def test_vpsde_indexing_and_drift():
+    """Zero eps-net, mean over big batch: each Euler step multiplies the
+    mean by (1 + 0.5*beta[idx]*N*dt) with idx = t-k-1 (the reference's
+    disc_steps quirk, ``diffwave_sde.py:76,94``)."""
+    t = 4
+    sde = RevVPSDE(ZERO_EPS, N=200, beta_min=1e-4 * 200, beta_max=0.02 * 200)
+    x = jnp.ones((8192, 1, 4)) * 0.25
+    out = np.asarray(sde.integrate(x, t, jax.random.PRNGKey(2)))
+    betas = np.asarray(sde.discrete_betas)
+    mean = 0.25
+    dt = 1.0 / 200
+    for k in range(t):
+        idx = t - k - 1
+        mean = mean * (1.0 + 0.5 * betas[idx] * 200 * dt)
+    assert abs(out.mean() - mean) < 5e-3
+
+
+def test_vpsde_diffusion_scale_zero_at_idx0():
+    """At idx==0 the diffusion term is zero (ref ``:108-115``), so a t=1
+    integrate is fully deterministic."""
+    sde = RevVPSDE(ZERO_EPS, N=200, beta_min=0.02, beta_max=4.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 1, 16))
+    o1 = np.asarray(sde.integrate(x, 1, jax.random.PRNGKey(1)))
+    o2 = np.asarray(sde.integrate(x, 1, jax.random.PRNGKey(99)))
+    np.testing.assert_allclose(o1, o2, atol=1e-7)
+
+
+def test_revdiffwave_shapes_and_sample_step():
+    rd = RevDiffWave(ZERO_EPS, T=200, t=3, sample_step=2)
+    x = jnp.zeros((2, 1, 64))
+    out = rd(x, jax.random.PRNGKey(0))
+    assert out.shape == (4, 1, 64)  # concat over sample_step (ref :212)
+
+
+def test_grad_modes():
+    """grad_mode='ref' blocks the score-net Jacobian; 'full' keeps it."""
+    # eps-net that depends on x so the Jacobian matters
+    eps_fn = lambda x, t: 0.5 * x
+    x = jnp.ones((1, 1, 8)) * 0.3
+
+    outs = {}
+    for mode in ("ref", "full"):
+        rd = RevDiffWave(eps_fn, T=200, t=2, grad_mode=mode)
+        f = lambda xx: jnp.sum(rd.purify_once(xx, jax.random.PRNGKey(0)))
+        outs[mode] = np.asarray(jax.grad(f)(x))
+    assert np.isfinite(outs["ref"]).all() and np.isfinite(outs["full"]).all()
+    assert not np.allclose(outs["ref"], outs["full"])
+
+
+def test_repeated_purifier_runs():
+    ddpm = DDPMPurifier(ZERO_EPS, SCHED, reverse_timestep=5)
+    rp = RepeatedPurifier(ddpm, num_re=3)
+    x = jnp.ones((2, 1, 32)) * 0.1
+    out = rp(x, jax.random.PRNGKey(0))
+    assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_full_T_sampling_statistics():
+    """Unconditional generation with zero eps-net from unit noise stays
+    finite and roughly zero-mean."""
+    ddpm = DDPMPurifier(ZERO_EPS, SCHED, reverse_timestep=200)
+    out = np.asarray(ddpm.sample(jax.random.PRNGKey(0), (64, 1, 16)))
+    assert np.isfinite(out).all()
+    assert abs(out.mean()) < 0.5
