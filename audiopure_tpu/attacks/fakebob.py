@@ -1,0 +1,188 @@
+"""FAKEBOB black-box attack (IEEE S&P'21) with NES gradients.
+
+TPU-native rebuild of ``robustness_eval/black_box_attack.py:13-311``:
+NES gradient estimate + momentum + per-sample plateau-drop learning-rate
+schedule + sign steps inside the eps-box, with per-sample early removal of
+already-successful examples and periodic convergence-based early stopping.
+
+The reference shrinks the live batch with Python list surgery
+(``delete_found``, ``:135-178``); here every sample keeps its slot and a
+boolean ``active`` mask freezes finished ones — fixed shapes, one compiled
+``lax.while_loop`` that exits when all samples are done (SURVEY.md §7
+"FAKEBOB's shrinking batches ... become masked lax.while_loop").
+
+The per-sample plateau detector (``:105-111``) keeps the last
+``plateau_length`` losses; list append/reset becomes a ring buffer + count.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from audiopure_tpu.attacks.losses import resolve_loss
+from audiopure_tpu.attacks.nes import NES
+
+
+class FakebobState(NamedTuple):
+    it: jnp.ndarray           # scalar iteration counter
+    key: jax.Array
+    adver_x: jnp.ndarray      # (B, 1, L)
+    grad: jnp.ndarray         # (B, 1, L) momentum-filtered gradient
+    best_adver_x: jnp.ndarray
+    best_loss: jnp.ndarray    # (B,)
+    success: jnp.ndarray      # (B,) bool
+    active: jnp.ndarray       # (B,) bool — still being attacked
+    lr: jnp.ndarray           # (B,)
+    ring: jnp.ndarray         # (B, plateau_length) recent losses
+    ring_n: jnp.ndarray       # (B,) valid entries in ring
+    prev_loss: jnp.ndarray    # (B,) loss snapshot for convergence check
+
+
+class FAKEBOB:
+    """``FAKEBOB(model_fn, ...).generate(x, y, key)`` -> (x_adv, success).
+
+    ``model_fn(x, key) -> logits``. Defaults mirror the reference
+    constructor (``black_box_attack.py:15-44``) and the eval CLI's setting
+    (``adaptive_attack_eval.py:152-160``: confidence 0.5, max_iter 200,
+    samples_per_draw 200).
+    """
+
+    def __init__(
+        self,
+        model_fn: Callable,
+        task: str = "SCR",
+        targeted: bool = False,
+        confidence: float = 0.5,
+        epsilon: float = 0.002,
+        max_iter: int = 200,
+        max_lr: float = 1e-3,
+        min_lr: float = 1e-6,
+        samples_per_draw: int = 50,
+        samples_per_draw_batch_size: int = 50,
+        sigma: float = 1e-3,
+        momentum: float = 0.9,
+        plateau_length: int = 5,
+        plateau_drop: float = 2.0,
+        stop_early: bool = True,
+        stop_early_iter: int = 100,
+        eot_size: int = 1,
+        eot_chunk: Optional[int] = None,
+        threshold: Optional[float] = None,
+    ):
+        self.task = task
+        self.targeted = targeted
+        self.epsilon = float(epsilon)
+        self.max_iter = int(max_iter)
+        self.max_lr = float(max_lr)
+        self.min_lr = float(min_lr)
+        self.momentum = float(momentum)
+        self.plateau_length = int(plateau_length)
+        self.plateau_drop = float(plateau_drop)
+        self.stop_early = stop_early
+        self.stop_early_iter = int(stop_early_iter)
+        self.threshold = threshold
+
+        if task in ("SV", "OSI") and threshold is None:
+            raise NotImplementedError(
+                "threshold not specified for {} task; call "
+                "estimate_threshold first".format(task))
+
+        self.loss_fn, self.grad_sign = resolve_loss(
+            "Margin", targeted, confidence, task, threshold, clip_max=False)
+        self.nes = NES(model_fn, self.loss_fn, samples_per_draw,
+                       samples_per_draw_batch_size, sigma, eot_size,
+                       eot_chunk)
+
+    # ------------------------------------------------------------------
+    def _attack(self, x, y, key):
+        B = x.shape[0]
+        lower = jnp.clip(x - self.epsilon, min=-1.0)
+        upper = jnp.clip(x + self.epsilon, max=1.0)
+
+        state = FakebobState(
+            it=jnp.asarray(0),
+            key=key,
+            adver_x=x,
+            grad=jnp.zeros_like(x),
+            best_adver_x=x,
+            best_loss=jnp.full((B,), jnp.inf, dtype=x.dtype),
+            success=jnp.zeros((B,), dtype=bool),
+            active=jnp.ones((B,), dtype=bool),
+            lr=jnp.full((B,), self.max_lr, dtype=x.dtype),
+            ring=jnp.zeros((B, self.plateau_length), dtype=x.dtype),
+            ring_n=jnp.zeros((B,), dtype=jnp.int32),
+            prev_loss=jnp.full((B,), jnp.inf, dtype=x.dtype),
+        )
+
+        def cond(s: FakebobState):
+            return jnp.logical_and(s.it <= self.max_iter, s.active.any())
+
+        def body(s: FakebobState):
+            key, sub = jax.random.split(s.key)
+            res = self.nes(s.adver_x, y, sub)
+
+            hit = (res.predict == y) if self.targeted else (res.predict != y)
+            success = jnp.logical_or(s.success, jnp.logical_and(hit,
+                                                                s.active))
+            better = jnp.logical_and(res.adver_loss < s.best_loss, s.active)
+            best_loss = jnp.where(better, res.adver_loss, s.best_loss)
+            best_adver_x = jnp.where(better[:, None, None], s.adver_x,
+                                     s.best_adver_x)
+
+            # delete_found: margin loss < 0 <=> attack objective met
+            active = jnp.logical_and(s.active, res.adver_loss >= 0)
+
+            grad = self.momentum * s.grad + (1.0 - self.momentum) * res.grad
+
+            # plateau LR schedule on the *mean* NES loss per sample
+            ring = s.ring.at[jnp.arange(B),
+                             s.ring_n % self.plateau_length].set(
+                res.mean_loss)
+            ring_n = s.ring_n + 1
+            full = ring_n >= self.plateau_length
+            newest = res.mean_loss
+            oldest = ring[jnp.arange(B), ring_n % self.plateau_length]
+            plateau = jnp.logical_and(full, newest > oldest)
+            lr = jnp.where(plateau,
+                           jnp.maximum(s.lr / self.plateau_drop,
+                                       self.min_lr), s.lr)
+            ring_n = jnp.where(plateau, 0, ring_n)
+
+            step = (self.grad_sign * lr[:, None, None]
+                    * jnp.sign(grad))
+            new_x = jnp.clip(s.adver_x + step, lower, upper)
+            adver_x = jnp.where(active[:, None, None], new_x, s.adver_x)
+
+            # early-stop on convergence every stop_early_iter iterations
+            if self.stop_early:
+                check = (s.it % self.stop_early_iter == 0) & (s.it > 0)
+                converged = (s.prev_loss * 0.9999 - res.mean_loss) < 0
+                active = jnp.where(check,
+                                   jnp.logical_and(active, ~converged),
+                                   active)
+                prev_loss = jnp.where(check, res.mean_loss, s.prev_loss)
+            else:
+                prev_loss = s.prev_loss
+
+            return FakebobState(s.it + 1, key, adver_x, grad, best_adver_x,
+                                best_loss, success, active, lr, ring,
+                                ring_n, prev_loss)
+
+        final = jax.lax.while_loop(cond, body, state)
+        return final.best_adver_x, final.success
+
+    # ------------------------------------------------------------------
+    def generate(self, x: jnp.ndarray, y: jnp.ndarray, key: jax.Array,
+                 targeted: Optional[bool] = None):
+        """(B, 1, L) in [-1, 1) -> (best adversarial x, success mask).
+        Contract of the reference ``generate`` (``:186-219``)."""
+        if targeted is not None and targeted != self.targeted:
+            raise ValueError(
+                "targetedness is baked into the compiled attack; construct "
+                "FAKEBOB(targeted=...) accordingly")
+        return self._attack(x, y, key)
+
+    __call__ = generate

@@ -1,0 +1,107 @@
+"""Attack losses.
+
+TPU-native rebuild of ``robustness_eval/_utils.py:7-127``: per-sample
+cross-entropy for speech-command recognition (the active path) and the
+SEC4SR CW-style margin loss for CSI/SV/OSI tasks. All functions are
+per-sample (reduction='none') and fully vectorized — the reference's
+imposter-index list surgery becomes masked arithmetic.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample CE. Labels == -1 (imposters) contribute 0 loss
+    (ref ``SEC4SR_CrossEntropy``, ``_utils.py:7-29``)."""
+    logp = logits - jnp.max(logits, axis=-1, keepdims=True)
+    logp = logp - jnp.log(jnp.sum(jnp.exp(logp), axis=-1, keepdims=True))
+    safe_labels = jnp.maximum(labels, 0)
+    nll = -jnp.take_along_axis(logp, safe_labels[:, None], axis=-1)[:, 0]
+    return jnp.where(labels >= 0, nll, 0.0)
+
+
+def margin_loss(
+    scores: jnp.ndarray,
+    labels: jnp.ndarray,
+    targeted: bool = False,
+    confidence: float = 0.0,
+    task: str = "CSI",
+    threshold: float = None,
+    clip_max: bool = True,
+) -> jnp.ndarray:
+    """SEC4SR margin (CW) loss (ref ``_utils.py:31-102``).
+
+    CSI untargeted: ``score_real + conf - score_other`` (attack minimizes);
+    targeted: ``score_other + conf - score_real``. OSI/SV variants use the
+    acceptance ``threshold``.
+    """
+    num_class = scores.shape[-1]
+    safe_labels = jnp.maximum(labels, 0)
+    onehot = jnp.eye(num_class, dtype=scores.dtype)[safe_labels]
+    score_real = jnp.sum(onehot * scores, axis=-1)
+    score_other = jnp.max((1 - onehot) * scores - onehot * 1e4, axis=-1)
+
+    if task == "CSI":
+        loss = (score_other + confidence - score_real) if targeted \
+            else (score_real + confidence - score_other)
+        loss = jnp.where(labels >= 0, loss, 0.0)
+    elif task == "OSI":
+        assert threshold is not None
+        if targeted:
+            consider = jnp.clip(score_other, min=threshold) \
+                + confidence - score_real
+            imposter = jnp.max(scores, axis=-1) + confidence - threshold
+        else:
+            f_reject = jnp.max(scores, axis=-1) + confidence - threshold
+            f_mis = jnp.clip(score_real, min=threshold) + confidence \
+                - score_other
+            consider = jnp.minimum(f_reject, f_mis)
+            imposter = threshold + confidence - jnp.max(scores, axis=-1)
+        loss = jnp.where(labels >= 0, consider, imposter)
+    elif task == "SV":
+        assert threshold is not None
+        s0 = scores[..., 0]
+        enroll = (threshold + confidence - s0) if targeted \
+            else (s0 + confidence - threshold)
+        imposter = (s0 + confidence - threshold) if targeted \
+            else (threshold + confidence - s0)
+        loss = jnp.where(labels == 0, enroll, imposter)
+    else:
+        raise NotImplementedError(f"unsupported task: {task}")
+
+    if clip_max:
+        loss = jnp.maximum(loss, 0.0)
+    return loss
+
+
+def resolve_loss(loss_name: str = "Entropy", targeted: bool = False,
+                 confidence: float = 0.0, task: str = "SCR",
+                 threshold=None, clip_max: bool = True):
+    """Mirror of ``_utils.resolve_loss`` (ref ``:104-127``): returns
+    (per-sample loss fn, grad_sign)."""
+    assert loss_name in ("Entropy", "Margin")
+    if loss_name == "Entropy":
+        if task != "SCR":
+            raise NotImplementedError(f"unsupported task yet: {task}!")
+        loss_fn = cross_entropy
+        grad_sign = -1 if targeted else 1
+    else:
+        cls_task = "CSI" if task == "SCR" else task
+        loss_fn = lambda s, y: margin_loss(
+            s, y, targeted=targeted, confidence=confidence, task=cls_task,
+            threshold=threshold, clip_max=clip_max)
+        grad_sign = -1
+    return loss_fn, grad_sign
+
+
+def majority_vote(decisions: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """Most-common prediction across EOT replicas
+    (ref ``resolve_prediction``, ``_utils.py:129-136``).
+
+    decisions: (R, B) int predictions -> (B,) int.
+    """
+    onehot = jnp.eye(num_classes, dtype=jnp.int32)[decisions]  # (R, B, C)
+    counts = onehot.sum(axis=0)                                # (B, C)
+    return jnp.argmax(counts, axis=-1)

@@ -1,0 +1,172 @@
+"""White-box EOT-PGD attack (AudioAttack stage 1).
+
+TPU-native rebuild of ``robustness_eval/white_box_attack.py:275-471``:
+projected gradient ascent on the attack loss through the full
+purify->transform->classify system, with per-iteration EOT for both the
+prediction pass (``eot_defense_size``) and the gradient pass
+(``eot_attack_size``), sign steps (linf) or normalized steps (l2),
+eps-ball projection, [-1, 1] clamping, and latest-success bookkeeping.
+
+The reference's Python loop with per-sample list surgery
+(``stage_1:381-471``) becomes a single ``lax.scan`` over iterations with
+masked updates — the whole attack is ONE compiled XLA program; gradients
+flow through the purifier's reverse-diffusion scan by ``jax.grad``
+(replacing torchsde's adjoint).
+
+Stage 2 (Qin psychoacoustic imperceptibility, ``stage_2:474-608``) lives in
+``attacks/imperceptible.py`` and is chained here when ``max_iter_2 > 0``,
+matching ``generate`` (``:343-360``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from audiopure_tpu.attacks.eot import EOT
+from audiopure_tpu.attacks.losses import cross_entropy
+
+
+def lp_norm(x: jnp.ndarray, p: str) -> jnp.ndarray:
+    """Reference ``lp_norm`` (``white_box_attack.py:22-34``)."""
+    if p == "linf":
+        return jnp.max(jnp.abs(x))
+    if p == "l2":
+        if x.ndim == 3:
+            return jnp.sqrt(jnp.sum(x ** 2, axis=(1, 2)))[:, None, None]
+        return jnp.sqrt(jnp.sum(x ** 2, axis=1))
+    raise NotImplementedError(f"Unsupported norm: {p}!")
+
+
+def project_to_norm_ball(x: jnp.ndarray, p: str, eps) -> jnp.ndarray:
+    """Reference ``project_to_norm_ball`` (``white_box_attack.py:9-20``),
+    batched: ``eps`` may be scalar or per-sample (B,)."""
+    if p == "linf":
+        if jnp.ndim(eps) > 0:
+            eps = eps.reshape(-1, *([1] * (x.ndim - 1)))
+        return jnp.clip(x, -eps, eps)
+    if p == "l2":
+        norm = jnp.sqrt(jnp.sum(x ** 2, axis=tuple(range(1, x.ndim)),
+                                keepdims=True))
+        if jnp.ndim(eps) > 0:
+            eps = eps.reshape(-1, *([1] * (x.ndim - 1)))
+        factor = jnp.minimum(1.0, eps / jnp.maximum(norm, 1e-12))
+        return x * factor
+    raise NotImplementedError(f"Unsupported norm: {p}!")
+
+
+class AudioAttack:
+    """EOT-PGD on a stochastic system ``model_fn(x, key) -> logits``.
+
+    Args mirror the reference constructor (``white_box_attack.py:280-302``);
+    the eval CLI passes ``learning_rate_1 = eps/5`` for linf and ``eps/2``
+    for l2 (``adaptive_attack_eval.py:146``).
+    """
+
+    def __init__(
+        self,
+        model_fn: Callable,
+        loss_fn: Callable = cross_entropy,
+        eps: float = 0.002,
+        norm: str = "linf",
+        learning_rate_1: Optional[float] = None,
+        max_iter_1: int = 70,
+        max_iter_2: int = 0,
+        eot_attack_size: int = 1,
+        eot_defense_size: int = 1,
+        eot_chunk: Optional[int] = None,
+        clip_min: float = -1.0,
+        clip_max: float = 1.0,
+        masker=None,
+        stage2_kwargs: Optional[dict] = None,
+    ):
+        self.model_fn = model_fn
+        self.loss_fn = loss_fn
+        self.eps = float(eps)
+        self.norm = norm
+        if learning_rate_1 is None:
+            learning_rate_1 = eps / 5 if norm == "linf" else eps / 2
+        self.lr = float(learning_rate_1)
+        self.max_iter_1 = int(max_iter_1)
+        self.max_iter_2 = int(max_iter_2)
+        self.clip_min = clip_min
+        self.clip_max = clip_max
+        self.masker = masker
+        self.stage2_kwargs = stage2_kwargs or {}
+
+        self.eot_attack = EOT(model_fn, loss_fn, eot_attack_size,
+                              chunk=eot_chunk, use_grad=True)
+        self.eot_defense = EOT(model_fn, loss_fn, eot_defense_size,
+                               chunk=eot_chunk, use_grad=False)
+
+    # ------------------------------------------------------------------
+    def _predict(self, x, y, key):
+        scores, _, _, _ = self.eot_defense(x, y, key, use_grad=False)
+        return jnp.argmax(scores, axis=-1)
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _stage_1(self, x, y, key, targeted: bool):
+        sign = -1.0 if targeted else 1.0
+
+        def hit_mask(pred):
+            return (pred == y) if targeted else (pred != y)
+
+        def body(carry, key_i):
+            delta, x_adv, success = carry
+            k_def, k_atk = jax.random.split(key_i)
+            x_pert = x + delta
+
+            pred = self._predict(x_pert, y, k_def)
+            hit = hit_mask(pred)
+            x_adv = jnp.where(hit[:, None, None], x_pert, x_adv)
+            success = jnp.logical_or(success, hit)
+
+            _, _, grad, _ = self.eot_attack(x_pert, y, k_atk, use_grad=True)
+            if self.norm == "linf":
+                step = self.lr * jnp.sign(grad)
+            else:
+                step = self.lr * grad / jnp.maximum(
+                    lp_norm(grad, "l2"), 1e-12)
+            delta = delta + sign * step
+            delta = project_to_norm_ball(delta, self.norm, self.eps)
+            delta = jnp.clip(x + delta, self.clip_min, self.clip_max) - x
+            return (delta, x_adv, success), None
+
+        delta0 = jnp.zeros_like(x)
+        carry0 = (delta0, x, jnp.zeros(x.shape[0], dtype=bool))
+        keys = jax.random.split(key, self.max_iter_1 + 1)
+        (delta, x_adv, success), _ = jax.lax.scan(
+            body, carry0, keys[:-1])
+
+        # trailing prediction pass (iteration i == max_iter_1, ref ``:426``)
+        x_pert = x + delta
+        pred = self._predict(x_pert, y, keys[-1])
+        hit = hit_mask(pred)
+        x_adv = jnp.where(hit[:, None, None], x_pert, x_adv)
+        success = jnp.logical_or(success, hit)
+
+        # unsuccessful samples return the final perturbed x (ref ``:460-467``)
+        x_adv = jnp.where(success[:, None, None], x_adv, x_pert)
+        return x_adv, success
+
+    # ------------------------------------------------------------------
+    def generate(self, x: jnp.ndarray, y: jnp.ndarray, key: jax.Array,
+                 targeted: bool = False):
+        """Returns (x_adv, (success_stage_1, success_stage_2 | None)) —
+        the reference ``generate`` contract (``:343-360``)."""
+        k1, k2 = jax.random.split(key)
+        x_adv, success1 = self._stage_1(x, y, k1, targeted)
+        if self.max_iter_2 > 0:
+            from audiopure_tpu.attacks.imperceptible import stage_2
+            x_adv, success2 = stage_2(
+                self.model_fn, self.loss_fn, self.masker, x, x_adv, y, k2,
+                targeted=targeted, max_iter=self.max_iter_2,
+                clip_min=self.clip_min, clip_max=self.clip_max,
+                **self.stage2_kwargs)
+            return x_adv, (success1, success2)
+        return x_adv, (success1, None)
+
+    __call__ = generate

@@ -1,0 +1,155 @@
+"""Randomized-smoothing certification with a diffusion denoiser.
+
+TPU-native rebuild of ``robustness_eval/certified_robust.py:6-127``
+(Cohen et al. smoothing + Carlini-style one-shot diffusion denoising):
+
+* noise draws are a vmapped replica axis, chunked with ``lax.scan`` — the
+  reference's Python chunk loop (``smooth_predict:38-56``) is one compiled
+  program per (t*, chunk) config;
+* sigma -> diffusion-step mapping ``t* = argmin |alpha_bar - 1/(1+s^2)| + 1``
+  (``compute_t_star:102-110``) is host-side (static per call);
+* the Clopper-Pearson lower bound (statsmodels ``proportion_confint``
+  method='beta' in the reference, ``:113-117``) is the exact Beta quantile,
+  computed with scipy on host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.stats import beta as beta_dist
+from scipy.stats import norm as norm_dist
+
+from audiopure_tpu.diffusion.ddpm import DDPMPurifier
+
+
+def clopper_pearson_lower(k: int, n: int, alpha: float = 1e-3) -> float:
+    """Exact lower confidence bound for a binomial proportion.
+
+    Equals ``proportion_confint(k, n, alpha=2*alpha, method='beta')[0]``.
+    """
+    if k == 0:
+        return 0.0
+    return float(beta_dist.ppf(alpha, k, n - k + 1))
+
+
+class CertifyResult(NamedTuple):
+    prediction: np.ndarray  # (B,) predicted class or -1 (abstain)
+    radius: np.ndarray      # (B,) certified L2 radius
+
+
+class RobustCertificate:
+    """Args mirror the reference (``certified_robust.py:8-15``):
+
+    classifier: spec-or-wave -> logits; transform: wave -> spec or None;
+    denoiser: a :class:`DDPMPurifier` (its ``reverse_timestep`` is re-bound
+    per sigma, like the reference mutates ``denoiser.reverse_timestep``).
+    """
+
+    def __init__(self, classifier: Callable, transform: Optional[Callable],
+                 denoiser: Optional[DDPMPurifier], num_classes: int = 10):
+        self.classifier = classifier
+        self.transform = transform
+        self.denoiser = denoiser
+        self.num_classes = num_classes
+
+    # -- single forward: denoise -> transform -> classify -------------------
+    def forward(self, x: jnp.ndarray, t_star: int) -> jnp.ndarray:
+        out = x
+        if self.denoiser is not None:
+            d = self.denoiser
+            saved = d.reverse_timestep
+            d.reverse_timestep = t_star
+            out = d.one_shot_denoise(out)
+            d.reverse_timestep = saved
+        if self.transform is not None:
+            out = self.transform(out)
+        return self.classifier(out)
+
+    def compute_t_star(self, alpha_bar_star: float) -> int:
+        abar = np.asarray(self.denoiser.schedule.alpha_bar)
+        return int(np.argmin(np.abs(abar - alpha_bar_star))) + 1
+
+    # -- counts of predicted classes over noise draws ------------------------
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+    def _counts(self, x, key, num_sampling: int, sigma: float,
+                t_star: int) -> jnp.ndarray:
+        """x: (1, 1, L); returns (num_classes,) histogram of predictions
+        over ``num_sampling`` gaussian draws."""
+        scale = (1.0 / (1.0 + sigma ** 2)) ** 0.5 \
+            if self.denoiser is not None else 1.0
+
+        def one(k):
+            noise = jax.random.normal(k, x.shape, dtype=x.dtype) * sigma
+            x_in = (x + noise) * scale
+            logits = self.forward(x_in, t_star)
+            return jnp.argmax(logits, axis=-1)[0]
+
+        # chunk draws through scan to bound memory
+        chunk = min(num_sampling, 64)
+        n_chunks = -(-num_sampling // chunk)
+        total = n_chunks * chunk
+        keys = jax.random.split(key, total).reshape(n_chunks, chunk, -1)
+
+        def scan_body(acc, ks):
+            preds = jax.vmap(one)(ks)
+            return acc + jnp.bincount(preds, length=self.num_classes), None
+
+        counts, _ = jax.lax.scan(
+            scan_body, jnp.zeros(self.num_classes, dtype=jnp.int32), keys)
+        # correct for padding: subtract nothing (total == num_sampling when
+        # divisible); otherwise trim via one extra masked chunk
+        if total != num_sampling:
+            extra = total - num_sampling
+            # recompute last chunk with mask
+            preds = jax.vmap(one)(keys[-1])
+            mask = jnp.arange(chunk) < (chunk - extra)
+            over = jnp.bincount(jnp.where(mask, preds, self.num_classes),
+                                length=self.num_classes + 1)[
+                                    : self.num_classes]
+            full = jnp.bincount(preds, length=self.num_classes)
+            counts = counts - full + over
+        return counts
+
+    def smooth_predict(self, x: jnp.ndarray, key: jax.Array,
+                       num_sampling: int = 100, sigma: float = 0.25
+                       ) -> np.ndarray:
+        """Histogram of the smoothed classifier's votes
+        (ref ``smooth_predict:34-67``). x: (1, 1, L)."""
+        assert x.shape[0] == 1
+        t_star = self.compute_t_star(1.0 / (1.0 + sigma ** 2)) \
+            if self.denoiser is not None else 0
+        return np.asarray(self._counts(x, key, num_sampling, float(sigma),
+                                       t_star))
+
+    # -- full certification ---------------------------------------------------
+    def certify(self, x: jnp.ndarray, y: jnp.ndarray, key: jax.Array,
+                sigma: float = 0.25, n_0: int = 100, n: int = 100000,
+                alpha: float = 1e-3) -> CertifyResult:
+        """Per-example Cohen certification (ref ``certify:70-100``):
+        n_0-draw selection, n-draw Clopper-Pearson bound, radius
+        sigma * Phi^-1(p_A)."""
+        B = x.shape[0]
+        preds = -np.ones(B, dtype=np.int64)
+        radii = np.zeros(B, dtype=np.float64)
+        for i in range(B):
+            k0, k1, key = jax.random.split(key, 3)
+            xi = x[i: i + 1]
+            counts0 = self.smooth_predict(xi, k0, n_0, sigma)
+            c_A = int(np.argmax(counts0))
+            counts = self.smooth_predict(xi, k1, n, sigma)
+            p_a = clopper_pearson_lower(int(counts[c_A]), n, alpha)
+            if p_a > 0.5:
+                preds[i] = c_A
+                radii[i] = sigma * norm_dist.ppf(p_a)
+        return CertifyResult(preds, radii)
+
+    @staticmethod
+    def certified_robust_correct(pred: np.ndarray, target: np.ndarray,
+                                 radius: np.ndarray, r: float = 1.0) -> int:
+        """Count examples certified correct at radius r (ref ``:119-127``)."""
+        return int(np.sum((pred == np.asarray(target)) & (radius >= r)))

@@ -1,0 +1,73 @@
+"""NES gradient-estimator accuracy and FAKEBOB end-to-end on a linear toy
+(analytic optimum; SURVEY.md §4 (c))."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from audiopure_tpu.attacks.fakebob import FAKEBOB
+from audiopure_tpu.attacks.losses import cross_entropy, margin_loss
+from audiopure_tpu.attacks.nes import NES
+
+
+def linear_model(x, key):
+    s = jnp.sum(x, axis=(1, 2))
+    return jnp.stack([s, -s], axis=1)
+
+
+def test_nes_estimates_true_gradient():
+    """For CE on the linear toy the true grad wrt x is constant; NES with
+    many draws should align with it (cosine similarity ~ 1)."""
+    x = jnp.ones((2, 1, 32)) * 0.002
+    y = jnp.zeros(2, dtype=jnp.int32)
+
+    nes = NES(linear_model, cross_entropy, samples_per_draw=512,
+              samples_per_draw_batch=128, sigma=1e-3)
+    res = nes(x, y, jax.random.PRNGKey(0))
+
+    true_grad = jax.grad(
+        lambda xx: cross_entropy(linear_model(xx, None), y).sum())(x)
+    g, t = np.asarray(res.grad).ravel(), np.asarray(true_grad).ravel()
+    cos = g @ t / (np.linalg.norm(g) * np.linalg.norm(t))
+    assert cos > 0.8, cos
+    assert res.adver_loss.shape == (2,)
+    assert res.predict.shape == (2,)
+    np.testing.assert_array_equal(np.asarray(res.predict), [0, 0])
+
+
+def test_fakebob_flips_linear_model():
+    x = jnp.ones((2, 1, 32)) * 0.0005
+    y = jnp.zeros(2, dtype=jnp.int32)
+    atk = FAKEBOB(linear_model, epsilon=0.05, max_iter=50,
+                  samples_per_draw=64, samples_per_draw_batch_size=64,
+                  max_lr=0.01, sigma=1e-3, stop_early=False)
+    x_adv, success = atk.generate(x, y, jax.random.PRNGKey(0))
+    assert np.asarray(success).all()
+    # margin loss < 0 at the returned best point => prediction flipped
+    m = np.asarray(margin_loss(linear_model(x_adv, None), y,
+                               clip_max=False))
+    assert (m < 0).all()
+    # stays in the eps-box
+    assert float(jnp.abs(x_adv - x).max()) <= 0.05 + 1e-6
+
+
+def test_fakebob_eps_box_and_mask_freeze():
+    """One easy + one impossible sample: the easy one succeeds and its
+    best_adver_x freezes; the hard one stays unsuccessful."""
+    x = jnp.concatenate([jnp.ones((1, 1, 32)) * 0.0005,
+                         jnp.ones((1, 1, 32)) * 0.5], axis=0)
+    y = jnp.zeros(2, dtype=jnp.int32)
+    atk = FAKEBOB(linear_model, epsilon=0.01, max_iter=30,
+                  samples_per_draw=64, samples_per_draw_batch_size=64,
+                  max_lr=0.005, stop_early=False)
+    x_adv, success = atk.generate(x, y, jax.random.PRNGKey(1))
+    got = np.asarray(success)
+    assert got[0] and not got[1]
+    assert float(jnp.abs(x_adv - x).max()) <= 0.01 + 1e-6
+
+
+def test_fakebob_requires_threshold_for_sv():
+    import pytest
+    with pytest.raises(NotImplementedError):
+        FAKEBOB(linear_model, task="SV")
