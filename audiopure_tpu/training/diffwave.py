@@ -1,0 +1,68 @@
+"""DiffWave training step: eps-prediction MSE, sharded over a TPU mesh.
+
+TPU-native rebuild of the reference trainer's hot loop
+(``DiffWave_Unconditional/train.py:105-138`` + ``util.py:161-185``):
+uniform-random timestep, q-sample, MSE between predicted and true noise,
+Adam at lr 2e-4 (``configs/config.json:25``).
+
+The reference's multi-GPU machinery — per-param backward hooks that bucket,
+all-reduce and re-scatter grads over NCCL (``distributed_util.py:97-149``) —
+does not exist here: the train step is jitted over a (dp, tp) mesh with the
+batch sharded on dp and weights on tp; the gradient all-reduce is a
+compiler-emitted psum over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from audiopure_tpu.diffusion.schedule import DiffusionSchedule
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    key: jax.Array
+
+
+def diffusion_training_loss(apply_fn: Callable, params, x0: jnp.ndarray,
+                            key: jax.Array,
+                            schedule: DiffusionSchedule) -> jnp.ndarray:
+    """MSE(eps_theta(x_t, t), z) at uniform random t (ref ``util.py:161-185``)."""
+    B = x0.shape[0]
+    k_t, k_z = jax.random.split(key)
+    t = jax.random.randint(k_t, (B, 1, 1), 0, schedule.T)
+    z = jax.random.normal(k_z, x0.shape, dtype=x0.dtype)
+    abar = schedule.alpha_bar[t]
+    x_t = jnp.sqrt(abar) * x0 + jnp.sqrt(1.0 - abar) * z
+    eps = apply_fn(params, x_t, t.reshape(B, 1).astype(jnp.float32))
+    return jnp.mean((eps - z) ** 2)
+
+
+def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
+                    optimizer: optax.GradientTransformation):
+    """Returns ``train_step(state, batch) -> (state, loss)`` (pure, jittable)."""
+
+    def train_step(state: TrainState, x0: jnp.ndarray
+                   ) -> Tuple[TrainState, jnp.ndarray]:
+        key, sub = jax.random.split(state.key)
+        loss, grads = jax.value_and_grad(
+            lambda p: diffusion_training_loss(apply_fn, p, x0, sub,
+                                              schedule))(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state, key), loss
+
+    return train_step
+
+
+def init_train_state(params, optimizer: optax.GradientTransformation,
+                     key: jax.Array) -> TrainState:
+    return TrainState(jnp.asarray(0), params, optimizer.init(params), key)

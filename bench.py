@@ -1,0 +1,90 @@
+"""Benchmark: purified utterances/sec/chip on the flagship defense stack.
+
+Workload = BASELINE.json's headline metric: RevDiffWave VP-SDE purification
+(full 36x256 DiffWave eps-net, T=200, t=3 reverse-SDE steps) -> mel
+front-end -> WideResNet-28-10 classification, batched, end-to-end jitted on
+one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "utterances/sec/chip", "vs_baseline": N}
+
+vs_baseline is measured against an analytic estimate of the PyTorch
+reference on one A100: the purification forward is ~0.6 TFLOP per reverse
+step per utterance (36 layers x 16000 samples x (3x256x512 + 2x256x256)
+MACs), so t=3 costs ~1.81 TFLOP/utterance + classifier (~0.02 TFLOP).
+Granting the torch eager pipeline 46% TF32 MFU on A100 (generous for an
+eager per-step loop through torchsde) gives ~40 utt/s. BASELINE.md records
+that the reference repo itself publishes no number for this workload.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+A100_REFERENCE_UPS = 40.0  # estimated torch/A100 throughput (see docstring)
+
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+REVERSE_T = int(os.environ.get("BENCH_T", "3"))
+ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+DTYPE = os.environ.get("BENCH_DTYPE", "bf16")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from audiopure_tpu import AcousticSystem
+    from audiopure_tpu.diffusion.vpsde import RevDiffWave
+    from audiopure_tpu.models import create_classifier
+    from audiopure_tpu.models.wavenet import WaveNet
+    from audiopure_tpu.ops import MelFrontEnd
+
+    compute_dtype = jnp.bfloat16 if DTYPE == "bf16" else jnp.float32
+
+    L = 16000
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (BATCH, 1, L), dtype=jnp.float32) * 0.05
+
+    net = WaveNet(dtype=compute_dtype)  # full DiffWave config (36 x 256)
+    wparams = net.init(jax.random.PRNGKey(1), x[:1], jnp.zeros((1, 1)))
+    eps_fn = lambda xx, tt: net.apply(wparams, xx, tt).astype(jnp.float32)
+    defender = RevDiffWave(eps_fn, T=200, t=REVERSE_T, sample_step=1,
+                           remat=False)
+
+    fe = MelFrontEnd()
+    clf = create_classifier("wideresnet28_10", num_classes=10,
+                            dtype=compute_dtype)
+    cvars = clf.init(jax.random.PRNGKey(2), fe(x[:1]))
+    classifier = lambda s: clf.apply(cvars, s).astype(jnp.float32)
+
+    system = AcousticSystem(classifier, fe, defender, "wave")
+
+    @jax.jit
+    def purify_and_classify(x, key):
+        return system(x, key=key)
+
+    # warm-up / compile
+    k = jax.random.PRNGKey(3)
+    purify_and_classify(x, k)[0].block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        k, sub = jax.random.split(k)
+        out = purify_and_classify(x, sub)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    ups = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "purified utterances/sec/chip (VP-SDE t=3 + WRN-28-10)",
+        "value": round(ups, 2),
+        "unit": "utterances/sec/chip",
+        "vs_baseline": round(ups / A100_REFERENCE_UPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

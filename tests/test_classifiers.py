@@ -19,8 +19,9 @@ SMALL_ZOO = ["vgg19_bn", "resnet18", "resnet50", "wideresnet28_10",
 def test_convnet_forward(name):
     model = create_classifier(name, num_classes=10)
     x = jnp.zeros((2, 1, 32, 32))
-    variables = model.init(jax.random.PRNGKey(0), x)
-    logits = model.apply(variables, x)
+    # jit init+apply: persistent compilation cache keeps re-runs fast
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    logits = jax.jit(model.apply)(variables, x)
     assert logits.shape == (2, 10)
     assert np.isfinite(np.asarray(logits)).all()
 
