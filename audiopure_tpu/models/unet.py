@@ -1,0 +1,240 @@
+"""Improved-Diffusion UNet for 32x32 mel-spectrograms, in flax.
+
+TPU-native rebuild of
+``Improved_Diffusion_Unconditional/improved_diffusion/unet.py:107-480``
+with the audio repo's configuration (``script_util.py:11-126``):
+in_channels=1, model_channels=128, channel_mult=(1,2,2,2), 3 res blocks per
+level, QKV self-attention (4 heads) at downsample rates {2, 4}
+(attention_resolutions "16,8" at image_size 32), scale-shift GroupNorm
+conditioning, zero-init output convs.
+
+Layout is NHWC; attention flattens spatial to a sequence and runs as two
+MXU einsums with the reference's sqrt-sqrt scaling (``unet.py:233-252``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int,
+                       max_period: float = 10000.0) -> jnp.ndarray:
+    """OpenAI-convention sinusoidal embedding: [cos | sin]
+    (ref ``nn.py`` timestep_embedding). timesteps: (B,)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period)
+                    * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def _group_norm(x, name=None):
+    # reference uses GroupNorm32 (32 groups, f32); for tiny test configs
+    # fall back to the largest divisor of the channel count <= 32
+    c = x.shape[-1]
+    groups = 32 if c % 32 == 0 else max(
+        g for g in range(1, min(32, c) + 1) if c % g == 0)
+    return nn.GroupNorm(num_groups=groups, epsilon=1e-5, name=name)(x)
+
+
+class ResBlock(nn.Module):
+    """GroupNorm-SiLU-conv residual block with (scale, shift) timestep
+    conditioning (ref ``unet.py:107-196``)."""
+
+    out_channels: int
+    dropout: float = 0.0
+    use_scale_shift_norm: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, train: bool = False):
+        in_ch = x.shape[-1]
+        h = nn.silu(_group_norm(x))
+        h = nn.Conv(self.out_channels, (3, 3), padding=1,
+                    dtype=self.dtype, name="in_conv")(h)
+
+        emb_out = nn.Dense(
+            2 * self.out_channels if self.use_scale_shift_norm
+            else self.out_channels,
+            dtype=self.dtype, name="emb_proj")(nn.silu(emb))
+        emb_out = emb_out[:, None, None, :]
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = _group_norm(h) * (1 + scale) + shift
+            h = nn.silu(h)
+        else:
+            h = h + emb_out
+            h = nn.silu(_group_norm(h))
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1,
+                    kernel_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.zeros,
+                    dtype=self.dtype, name="out_conv")(h)
+
+        if in_ch == self.out_channels:
+            skip = x
+        else:
+            skip = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                           name="skip_conv")(x)
+        return skip + h
+
+
+class AttentionBlock(nn.Module):
+    """Spatial self-attention with sqrt-sqrt scaling and zero-init output
+    projection (ref ``unet.py:200-276``)."""
+
+    num_heads: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        h = _group_norm(x).reshape(B, H * W, C)
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(h)
+        qkv = qkv.reshape(B, H * W, self.num_heads, 3 * C // self.num_heads)
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, T, heads, ch)
+        ch = C // self.num_heads
+        scale = 1.0 / math.sqrt(math.sqrt(ch))
+        w = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)
+        w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(x.dtype)
+        a = jnp.einsum("bhts,bshc->bthc", w, v).reshape(B, H * W, C)
+        a = nn.Dense(C, kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros,
+                     dtype=self.dtype, name="proj_out")(a)
+        return x + a.reshape(B, H, W, C)
+
+
+class UNetModel(nn.Module):
+    """``__call__(x, timesteps, y=None)`` with x ``(B, C, H, W)`` NCHW (the
+    reference interface) and timesteps ``(B,)`` -> (B, out_channels, H, W)."""
+
+    in_channels: int = 1
+    model_channels: int = 128
+    out_channels: int = 1
+    num_res_blocks: int = 3
+    attention_resolutions: Tuple[int, ...] = (2, 4)  # downsample rates
+    dropout: float = 0.3
+    channel_mult: Tuple[int, ...] = (1, 2, 2, 2)
+    conv_resample: bool = True
+    num_classes: Optional[int] = None
+    num_heads: int = 4
+    num_heads_upsample: int = -1
+    use_scale_shift_norm: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, timesteps, y=None, train: bool = False):
+        heads_up = self.num_heads if self.num_heads_upsample == -1 \
+            else self.num_heads_upsample
+        h = jnp.transpose(x, (0, 2, 3, 1)).astype(self.dtype)  # NHWC
+
+        time_dim = self.model_channels * 4
+        emb = timestep_embedding(timesteps.reshape(-1),
+                                 self.model_channels)
+        emb = nn.Dense(time_dim, dtype=self.dtype, name="time_1")(emb)
+        emb = nn.Dense(time_dim, dtype=self.dtype,
+                       name="time_2")(nn.silu(emb))
+        if self.num_classes is not None:
+            assert y is not None
+            emb = emb + nn.Embed(self.num_classes, time_dim,
+                                 dtype=self.dtype, name="label_emb")(y)
+
+        # -- encoder ---------------------------------------------------------
+        h = nn.Conv(self.model_channels, (3, 3), padding=1,
+                    dtype=self.dtype, name="in_conv")(h)
+        skips = [h]
+        ds = 1
+        for level, mult in enumerate(self.channel_mult):
+            for i in range(self.num_res_blocks):
+                h = ResBlock(mult * self.model_channels, self.dropout,
+                             self.use_scale_shift_norm, self.dtype,
+                             name=f"down_{level}_{i}")(h, emb, train)
+                if ds in self.attention_resolutions:
+                    h = AttentionBlock(self.num_heads, self.dtype,
+                                       name=f"down_attn_{level}_{i}")(h)
+                skips.append(h)
+            if level != len(self.channel_mult) - 1:
+                if self.conv_resample:
+                    h = nn.Conv(h.shape[-1], (3, 3), strides=2, padding=1,
+                                dtype=self.dtype,
+                                name=f"downsample_{level}")(h)
+                else:
+                    h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+                skips.append(h)
+                ds *= 2
+
+        # -- middle ------------------------------------------------------------
+        ch = h.shape[-1]
+        h = ResBlock(ch, self.dropout, self.use_scale_shift_norm,
+                     self.dtype, name="mid_res1")(h, emb, train)
+        h = AttentionBlock(self.num_heads, self.dtype, name="mid_attn")(h)
+        h = ResBlock(ch, self.dropout, self.use_scale_shift_norm,
+                     self.dtype, name="mid_res2")(h, emb, train)
+
+        # -- decoder -------------------------------------------------------------
+        for level, mult in reversed(list(enumerate(self.channel_mult))):
+            for i in range(self.num_res_blocks + 1):
+                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                h = ResBlock(mult * self.model_channels, self.dropout,
+                             self.use_scale_shift_norm, self.dtype,
+                             name=f"up_{level}_{i}")(h, emb, train)
+                if ds in self.attention_resolutions:
+                    h = AttentionBlock(heads_up, self.dtype,
+                                       name=f"up_attn_{level}_{i}")(h)
+                if level and i == self.num_res_blocks:
+                    B, H, W, C = h.shape
+                    h = jax.image.resize(h, (B, 2 * H, 2 * W, C), "nearest")
+                    if self.conv_resample:
+                        h = nn.Conv(C, (3, 3), padding=1, dtype=self.dtype,
+                                    name=f"upsample_{level}")(h)
+                    ds //= 2
+
+        h = nn.silu(_group_norm(h))
+        h = nn.Conv(self.out_channels, (3, 3), padding=1,
+                    kernel_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.zeros,
+                    dtype=self.dtype, name="out_conv")(h)
+        return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)  # NCHW
+
+
+def create_unet(image_size: int = 32, num_channels: int = 128,
+                num_res_blocks: int = 3, learn_sigma: bool = False,
+                class_cond: bool = False, attention_resolutions="16,8",
+                num_heads: int = 4, num_heads_upsample: int = -1,
+                use_scale_shift_norm: bool = True, dropout: float = 0.3,
+                dtype=jnp.float32) -> UNetModel:
+    """Mirror of ``script_util.create_model`` (``:87-126``)."""
+    if image_size == 256:
+        channel_mult = (1, 1, 2, 2, 4, 4)
+    elif image_size == 64:
+        channel_mult = (1, 2, 3, 4)
+    elif image_size == 32:
+        channel_mult = (1, 2, 2, 2)
+    else:
+        raise ValueError(f"unsupported image size: {image_size}")
+    attention_ds = tuple(image_size // int(r)
+                         for r in str(attention_resolutions).split(","))
+    return UNetModel(
+        in_channels=1,
+        model_channels=num_channels,
+        out_channels=(2 if learn_sigma else 1),
+        num_res_blocks=num_res_blocks,
+        attention_resolutions=attention_ds,
+        dropout=dropout,
+        channel_mult=channel_mult,
+        num_classes=(1000 if class_cond else None),
+        num_heads=num_heads,
+        num_heads_upsample=num_heads_upsample,
+        use_scale_shift_norm=use_scale_shift_norm,
+        dtype=dtype,
+    )

@@ -1,0 +1,80 @@
+"""Improved-Diffusion UNet: shapes, zero-init head, DiffSpec integration."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from audiopure_tpu.diffusion.vpsde import RevSpecDiffusion
+from audiopure_tpu.models.unet import UNetModel, create_unet, \
+    timestep_embedding
+
+
+def tiny_unet(**kw):
+    defaults = dict(in_channels=1, model_channels=16, out_channels=1,
+                    num_res_blocks=1, attention_resolutions=(2,),
+                    dropout=0.0, channel_mult=(1, 2), num_heads=2)
+    defaults.update(kw)
+    return UNetModel(**defaults)
+
+
+def test_timestep_embedding_convention():
+    emb = np.asarray(timestep_embedding(jnp.asarray([0.0]), 8))
+    # OpenAI convention: [cos | sin]; at t=0 -> [1,1,1,1, 0,0,0,0]
+    np.testing.assert_allclose(emb[0, :4], 1.0, atol=1e-6)
+    np.testing.assert_allclose(emb[0, 4:], 0.0, atol=1e-6)
+
+
+def test_unet_forward_shape_and_zero_init():
+    net = tiny_unet()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 32, 32))
+    t = jnp.asarray([0, 100])
+    variables = jax.jit(net.init)(jax.random.PRNGKey(1), x, t)
+    out = jax.jit(net.apply)(variables, x, t)
+    assert out.shape == (2, 1, 32, 32)
+    # zero-init final conv => exactly zero output at init
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_unet_learn_sigma_output_channels():
+    net = tiny_unet(out_channels=2)
+    x = jnp.zeros((1, 1, 32, 32))
+    t = jnp.zeros((1,))
+    variables = jax.jit(net.init)(jax.random.PRNGKey(0), x, t)
+    out = net.apply(variables, x, t)
+    assert out.shape == (1, 2, 32, 32)
+
+
+def test_create_unet_reference_config():
+    net = create_unet()
+    assert net.model_channels == 128
+    assert net.channel_mult == (1, 2, 2, 2)
+    assert net.attention_resolutions == (2, 4)  # "16,8" at 32px
+    assert net.num_res_blocks == 3 and net.dropout == 0.3
+
+
+def test_unet_class_conditional():
+    net = tiny_unet(num_classes=10)
+    x = jnp.zeros((2, 1, 32, 32))
+    t = jnp.zeros((2,))
+    y = jnp.asarray([3, 7])
+    variables = jax.jit(net.init)(jax.random.PRNGKey(0), x, t, y)
+    out = net.apply(variables, x, t, y)
+    assert out.shape == (2, 1, 32, 32)
+
+
+def test_diffspec_purifier_with_unet():
+    """DiffSpec (VP-SDE on mel): standardize -> purify -> inv-standardize,
+    on dB-scaled inputs (ref ``improved_diffusion_sde.py:173-221``)."""
+    net = tiny_unet()
+    x = jnp.zeros((1, 1, 32, 32))
+    variables = jax.jit(net.init)(jax.random.PRNGKey(0), x, jnp.zeros((1,)))
+    eps_fn = lambda xx, tt: net.apply(variables, xx, tt.reshape(-1))
+
+    pur = RevSpecDiffusion(eps_fn, N=100, t=10)
+    spec = jnp.full((2, 1, 32, 32), -30.0)
+    out = pur(spec, jax.random.PRNGKey(1))
+    assert out.shape == spec.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # output is back in dB range, not [-1, 1]
+    assert np.abs(np.asarray(out)).max() > 2.0
