@@ -132,7 +132,9 @@ class GaussianDiffusion:
         self.num_timesteps = len(betas)
 
         alphas = 1.0 - betas
-        self.alphas_cumprod = np.cumprod(alphas)
+        # clamp away exact zero (beta == 1 at the final step of very short
+        # linear schedules) so the 1/alphas_cumprod tables stay finite
+        self.alphas_cumprod = np.maximum(np.cumprod(alphas), 1e-20)
         self.alphas_cumprod_prev = np.append(1.0, self.alphas_cumprod[:-1])
         self.alphas_cumprod_next = np.append(self.alphas_cumprod[1:], 0.0)
 

@@ -27,6 +27,16 @@ class M5(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # receptive-field check: 4 stages of VALID conv + pool/4 must keep
+        # a non-empty time axis, or the final mean silently NaNs
+        L = x.shape[-1]
+        n = (L - self.first_kernel_size) // self.stride + 1
+        n = n // 4
+        for _ in range(3):
+            n = (n - 2) // 4
+        if n < 1:
+            raise ValueError(
+                f"M5 input length {L} too short for its receptive field")
         # (B, C_in, L) -> (B, L, C_in)
         h = jnp.swapaxes(x, 1, 2)
 

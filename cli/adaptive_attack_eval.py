@@ -1,0 +1,175 @@
+"""Adaptive-attack robust-accuracy evaluation on SC09.
+
+Rebuild of the flagship entry point ``adaptive_attack_eval.py:13-291``:
+clean / purified-clean / robust accuracy of an AcousticSystem under
+white-box EOT-PGD, black-box FAKEBOB, or Kenansville attacks.
+
+TPU-first: the per-batch work — purification, the whole PGD/NES loop, the
+EOT axis — is one jitted program per configuration; batches stream through
+the prefetching loader.
+
+Usage:
+  python -m cli.adaptive_attack_eval --data_path <sc09> \
+      --classifier_path <ckpt> --defense Diffusion --ddpm_path <ckpt> \
+      --attack PGD --eps 0.002 --max_iter_1 70 \
+      --eot_attack_size 15 --eot_defense_size 15
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from cli.common import (add_common_args, build_system, system_model_fn)
+
+
+def add_attack_args(parser):
+    a = parser.add_argument_group("attack")
+    a.add_argument("--attack", type=str, default="PGD",
+                   choices=["PGD", "FAKEBOB", "KenansvilleFFT",
+                            "KenansvilleSSA", "CleanOnly"])
+    a.add_argument("--defense", type=str, default="None",
+                   choices=["Diffusion", "DiffSpec", "AT", "AS", "MS",
+                            "QT", "BDR", "DS", "LPF", "BPF", "None"])
+    a.add_argument("--bound_norm", type=str, default="linf",
+                   choices=["linf", "l2"])
+    a.add_argument("--eps", type=float, default=0.002)
+    a.add_argument("--max_iter_1", type=int, default=70)
+    a.add_argument("--max_iter_2", type=int, default=0)
+    a.add_argument("--eot_attack_size", type=int, default=1)
+    a.add_argument("--eot_defense_size", type=int, default=1)
+
+
+def build_attacker(args, model_fn):
+    if args.attack == "PGD":
+        from audiopure_tpu.attacks import AudioAttack
+        from audiopure_tpu.attacks.masker import PsychoacousticMasker
+
+        atk = AudioAttack(
+            model_fn, eps=args.eps, norm=args.bound_norm,
+            max_iter_1=args.max_iter_1, max_iter_2=args.max_iter_2,
+            learning_rate_1=(args.eps / 5 if args.bound_norm == "linf"
+                             else args.eps / 2),
+            eot_attack_size=args.eot_attack_size,
+            eot_defense_size=args.eot_defense_size,
+            masker=PsychoacousticMasker() if args.max_iter_2 > 0 else None)
+        print(f"attack: PGD with {args.bound_norm}_eps={args.eps} & "
+              f"iter={args.max_iter_1} & "
+              f"eot={args.eot_attack_size}-{args.eot_defense_size}\n")
+        return atk
+    if args.attack == "FAKEBOB":
+        from audiopure_tpu.attacks.fakebob import FAKEBOB
+
+        atk = FAKEBOB(model_fn, task="SCR", targeted=False,
+                      confidence=0.5, epsilon=args.eps, max_iter=200,
+                      samples_per_draw=200,
+                      samples_per_draw_batch_size=50)
+        print(f"attack: FAKEBOB with eps={args.eps} & confidence=0.5 & "
+              f"iter=200 & samples_per_draw=200\n")
+        return atk
+    if args.attack.startswith("Kenansville"):
+        from audiopure_tpu.attacks.kenansville import KenansvilleAttack
+
+        method = "fft" if args.attack.endswith("FFT") else "ssa"
+        return KenansvilleAttack(model_fn, method=method, max_iter=15)
+    return None
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    add_common_args(parser)
+    add_attack_args(parser)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from audiopure_tpu.data import DataLoader, SC09Dataset
+    from audiopure_tpu.data.transforms import (Compose, FixAudioLength,
+                                               LoadAudio)
+    from audiopure_tpu import utils as ap_utils
+
+    system = build_system(args)
+    model_fn = system_model_fn(system)
+    attacker = build_attacker(args, model_fn)
+
+    dataset = SC09Dataset(
+        folder=args.data_path,
+        transform=Compose([LoadAudio(), FixAudioLength()]),
+        num_per_class=args.num_per_class)
+    loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=False)
+
+    predict_clean = jax.jit(lambda x: jnp.argmax(
+        system(x, defend=False), -1))
+    purify = jax.jit(lambda x, k: system.defender(x, k)
+                     if system.defender_stochastic
+                     else system.defender(x)) \
+        if system.defender is not None else None
+
+    key = jax.random.PRNGKey(args.seed)
+    correct_orig = correct_denoised = correct_adv = total = 0
+
+    for bi, batch in enumerate(loader):
+        x = jnp.asarray(batch["samples"])[:, None, :]
+        y = jnp.asarray(batch["target"])
+        key, k1, k2, k3 = jax.random.split(key, 4)
+
+        pred_clean = predict_clean(x)
+
+        if system.defender is not None and system.defense_type == "wave":
+            x_def = purify(x, k1)[: x.shape[0]]
+            pred_def = predict_clean(x_def)
+        elif system.defender is not None:  # spec defense
+            pred_def = jnp.argmax(model_fn(x, k1), -1)
+        else:
+            pred_def = pred_clean
+
+        if attacker is None:
+            success = jnp.zeros_like(y, dtype=bool)
+            x_adv = x
+        else:
+            x_adv, success = attacker.generate(x, y, k2)
+            if isinstance(success, tuple):
+                success = success[0]
+
+        if args.save_path:
+            clean_path = os.path.join(args.save_path, "clean")
+            adv_path = os.path.join(args.save_path, "adv")
+            for i in range(x.shape[0]):
+                audio_id = str(total + i).zfill(3)
+                t_i = int(y[i])
+                ap_utils.audio_save(
+                    np.asarray(x[i]), clean_path,
+                    f"{audio_id}_{t_i}_clean.wav")
+                ap_utils.audio_save(
+                    np.asarray(x_adv[i]), adv_path,
+                    f"{audio_id}_{t_i}_adv.wav")
+
+        total += x.shape[0]
+        correct_orig += int((pred_clean == y).sum())
+        correct_denoised += int((pred_def == y).sum())
+        correct_adv += int(x.shape[0] - np.asarray(success).sum())
+        print(f"batch {bi}: orig clean acc {100 * correct_orig / total:.4f}%"
+              f" | denoised clean acc "
+              f"{100 * correct_denoised / total:.4f}%"
+              f" | {args.attack} robust acc "
+              f"{100 * correct_adv / total:.4f}%", flush=True)
+
+    print(f"\non {total} test examples:")
+    print(f"original clean test accuracy: "
+          f"{100 * correct_orig / total:.4f}%")
+    print(f"denoised clean test accuracy: "
+          f"{100 * correct_denoised / total:.4f}%")
+    print(f"{args.attack} robust test accuracy: "
+          f"{100 * correct_adv / total:.4f}%")
+    return dict(total=total, acc_orig=correct_orig / total,
+                acc_denoised=correct_denoised / total,
+                acc_robust=correct_adv / total)
+
+
+if __name__ == "__main__":
+    main()

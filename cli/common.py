@@ -1,0 +1,181 @@
+"""Shared CLI assembly: classifiers, defenders, acoustic systems.
+
+The reference spreads this across every entry point
+(``adaptive_attack_eval.py:61-165``); here it is one builder module.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiopure_tpu import AcousticSystem
+from audiopure_tpu.config import load_config, Config
+from audiopure_tpu.models import create_classifier
+from audiopure_tpu.ops import MelFrontEnd
+from audiopure_tpu.utils import checkpoint as ckpt_lib
+
+
+def add_common_args(parser: argparse.ArgumentParser) -> None:
+    """The reference's shared argument groups
+    (``adaptive_attack_eval.py:15-52``)."""
+    g = parser.add_argument_group("classifier")
+    g.add_argument("--data_path", help="dataset folder")
+    g.add_argument("--classifier_path", help="saved classifier ckpt dir")
+    g.add_argument("--classifier_model", default="wideresnet28_10",
+                   help="architecture name if no ckpt is given")
+    g.add_argument("--classifier_input", choices=["mel32", "mel40"],
+                   default="mel32")
+    g.add_argument("--num_per_class", type=int, default=10)
+
+    d = parser.add_argument_group("diffusion defense")
+    d.add_argument("--ddpm_config", type=str, default=None,
+                   help="JSON config (reference config.json layout)")
+    d.add_argument("--ddpm_path", type=str, default=None,
+                   help="diffusion ckpt: orbax dir or torch .pkl")
+    d.add_argument("--sample_step", type=int, default=1)
+    d.add_argument("--t", type=int, default=3)
+    d.add_argument("--t_delta", type=int, default=0)
+    d.add_argument("--rand_t", action="store_true", default=False)
+    d.add_argument("--diffusion_type", type=str, default="sde",
+                   choices=["ddpm", "sde"])
+    d.add_argument("--score_type", type=str, default="guided_diffusion")
+    d.add_argument("--use_bm", action="store_true", default=False)
+    d.add_argument("--grad_mode", type=str, default="ref",
+                   choices=["ref", "full"],
+                   help="'ref' reproduces the reference's stop-grad eps-net")
+
+    v = parser.add_argument_group("device/saving")
+    v.add_argument("--batch_size", type=int, default=10)
+    v.add_argument("--seed", type=int, default=0)
+    v.add_argument("--save_path", default=None)
+    v.add_argument("--verbose", type=int, default=0)
+
+
+def load_classifier(args, num_classes: int = 10,
+                    input_is_wave: bool = False):
+    """Build (and optionally restore) a classifier; returns
+    (callable spec->logits, model_name)."""
+    if args.classifier_path:
+        variables, meta = ckpt_lib.load_model(args.classifier_path)
+        name = meta["model_name"]
+        num_classes = meta.get("num_classes", num_classes)
+        model = create_classifier(name, num_classes=num_classes)
+    else:
+        name = args.classifier_model
+        model = create_classifier(name, num_classes=num_classes)
+        n_mels = 40 if args.classifier_input == "mel40" else 32
+        dummy = jnp.zeros((1, 1, 16000)) if name == "m5" \
+            else jnp.zeros((1, 1, n_mels, 32))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), dummy)
+        print(f"WARNING: no --classifier_path; using random-init {name}")
+    return (lambda x: model.apply(variables, x)), name
+
+
+def make_wave2spect(args):
+    n_mels = 40 if args.classifier_input == "mel40" else 32
+    return MelFrontEnd(n_mels=n_mels)
+
+
+def load_diffwave_eps_fn(args):
+    """Build the DiffWave eps-net from an orbax dir or torch .pkl ckpt."""
+    from audiopure_tpu.models.wavenet import make_wavenet
+
+    cfg = load_config(args.ddpm_config) if args.ddpm_config else Config()
+    net = make_wavenet(cfg.wavenet)
+    if args.ddpm_path and os.path.isdir(args.ddpm_path):
+        with_meta = os.path.exists(os.path.join(args.ddpm_path,
+                                                "meta.json"))
+        if with_meta:
+            params, _ = ckpt_lib.load_model(args.ddpm_path)
+        else:
+            params = ckpt_lib.restore(args.ddpm_path)
+            params = params.get("params", params)
+            if "params" not in params:
+                params = {"params": params}
+    elif args.ddpm_path:  # torch pickle
+        from audiopure_tpu.utils.torch_convert import \
+            convert_diffwave_checkpoint
+        params = convert_diffwave_checkpoint(
+            args.ddpm_path, cfg.wavenet.num_res_layers)
+    else:
+        x0 = jnp.zeros((1, 1, 16000))
+        params = net.init(jax.random.PRNGKey(0), x0, jnp.zeros((1, 1)))
+        print("WARNING: no --ddpm_path; using random-init DiffWave")
+    return (lambda x, t: net.apply(params, x, t)), cfg
+
+
+def build_defender(args, audio_length: int = 16000):
+    """Defense dispatcher (ref ``adaptive_attack_eval.py:97-127``).
+    Returns (defender, defense_type, stochastic)."""
+    name = args.defense
+    if name == "None":
+        return None, "wave", False
+    if name == "Diffusion":
+        from audiopure_tpu.diffusion.ddpm import DDPMPurifier
+        from audiopure_tpu.diffusion.vpsde import RevDiffWave
+        from audiopure_tpu.diffusion.schedule import make_schedule
+
+        eps_fn, cfg = load_diffwave_eps_fn(args)
+        if args.diffusion_type == "sde":
+            defender = RevDiffWave(
+                eps_fn, T=cfg.diffusion.T, t=args.t,
+                sample_step=args.sample_step, beta_0=cfg.diffusion.beta_0,
+                beta_T=cfg.diffusion.beta_T, grad_mode=args.grad_mode)
+        else:
+            sched = make_schedule(cfg.diffusion.T, cfg.diffusion.beta_0,
+                                  cfg.diffusion.beta_T)
+            defender = DDPMPurifier(
+                eps_fn, sched, reverse_timestep=args.t,
+                stop_score_grad=(args.grad_mode == "ref"))
+        return defender, "wave", True
+    if name == "DiffSpec":
+        from audiopure_tpu.diffusion.vpsde import RevSpecDiffusion
+        from audiopure_tpu.models.unet import create_unet
+
+        net = create_unet()
+        if args.ddpm_path:
+            params, _ = ckpt_lib.load_model(args.ddpm_path)
+        else:
+            x0 = jnp.zeros((1, 1, 32, 32))
+            params = jax.jit(net.init)(jax.random.PRNGKey(0), x0,
+                                       jnp.zeros((1,)))
+            print("WARNING: no --ddpm_path; using random-init UNet")
+        eps_fn = lambda x, t: net.apply(params, x, t.reshape(-1))
+        defender = RevSpecDiffusion(eps_fn, t=args.t,
+                                    sample_step=args.sample_step,
+                                    grad_mode=args.grad_mode)
+        return defender, "spec", True
+    if name in ("AT", "AS", "MS", "QT", "BDR"):
+        from audiopure_tpu.defenses import TimeDomainDefense
+        return TimeDomainDefense(name), "wave", name == "AT"
+    if name in ("DS", "LPF", "BPF"):
+        from audiopure_tpu.defenses import FreqDomainDefense
+        return FreqDomainDefense(name), "wave", False
+    raise NotImplementedError(f"Unknown defense: {name}!")
+
+
+def build_system(args, num_classes: int = 10):
+    classifier, name = load_classifier(args, num_classes)
+    transform = None if name == "m5" else make_wave2spect(args)
+    defender, defense_type, stochastic = build_defender(args)
+    system = AcousticSystem(classifier, transform, defender, defense_type,
+                            defender_stochastic=stochastic)
+    print(f"classifier model: {name}")
+    print(f"defense: {args.defense}"
+          + (f" with t={args.t}" if args.defense == "Diffusion" else ""))
+    return system
+
+
+def system_model_fn(system: AcousticSystem):
+    """(x, key) -> logits closure; AcousticSystem routes the key only to
+    stochastic defenders, so one shape fits all configurations."""
+    return lambda x, key: system(x, key=key)

@@ -1,0 +1,286 @@
+"""Training infrastructure: converter parity vs torch weight-norm ckpt,
+TrainLoop loss descent + resume, EMA, samplers, classifier/adv training."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from audiopure_tpu.diffusion.gaussian import create_gaussian_diffusion
+from audiopure_tpu.models.wavenet import WaveNet
+from audiopure_tpu.training.classifier import (
+    ReduceLROnPlateau,
+    StepLR,
+    init_classifier_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    set_lr,
+)
+from audiopure_tpu.training.ema import update_ema
+from audiopure_tpu.training.samplers import (
+    LossSecondMomentResampler,
+    UniformSampler,
+    create_named_schedule_sampler,
+)
+from audiopure_tpu.training.train_loop import TrainLoop
+from audiopure_tpu.utils import checkpoint as ckpt_lib
+from audiopure_tpu.utils.torch_convert import convert_diffwave
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint conversion parity
+# ---------------------------------------------------------------------------
+
+RES, SKIP, LAYERS, CYCLE = 8, 8, 2, 2
+EIN, EMID, EOUT = 16, 32, 32
+
+
+def _build_torch_wavenet():
+    """Weight-normalized torch WaveNet with the reference's parameter
+    naming, so its state_dict looks exactly like a real DiffWave ckpt."""
+    wn = torch.nn.utils.weight_norm
+
+    class Conv(torch.nn.Module):
+        def __init__(self, cin, cout, k, dilation=1):
+            super().__init__()
+            pad = dilation * (k - 1) // 2
+            self.conv = wn(torch.nn.Conv1d(cin, cout, k, dilation=dilation,
+                                           padding=pad))
+            torch.nn.init.kaiming_normal_(self.conv.weight)
+
+        def forward(self, x):
+            return self.conv(x)
+
+    class ZeroConv1d(torch.nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.conv = torch.nn.Conv1d(cin, cout, 1)
+            self.conv.weight.data.normal_(0, 0.1)  # nonzero for the test
+            self.conv.bias.data.normal_(0, 0.1)
+
+        def forward(self, x):
+            return self.conv(x)
+
+    class Block(torch.nn.Module):
+        def __init__(self, dilation):
+            super().__init__()
+            self.fc_t = torch.nn.Linear(EOUT, RES)
+            self.dilated_conv_layer = Conv(RES, 2 * RES, 3, dilation)
+            self.res_conv = wn(torch.nn.Conv1d(RES, RES, 1))
+            self.skip_conv = wn(torch.nn.Conv1d(RES, SKIP, 1))
+
+    class Group(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc_t1 = torch.nn.Linear(EIN, EMID)
+            self.fc_t2 = torch.nn.Linear(EMID, EOUT)
+            self.residual_blocks = torch.nn.ModuleList(
+                [Block(2 ** (n % CYCLE)) for n in range(LAYERS)])
+
+    class Net(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.init_conv = torch.nn.Sequential(Conv(1, RES, 1))
+            self.residual_layer = Group()
+            self.final_conv = torch.nn.Sequential(
+                Conv(SKIP, SKIP, 1), torch.nn.ReLU(),
+                ZeroConv1d(SKIP, 1))
+
+        def forward(self, x, steps):
+            half = EIN // 2
+            freq = torch.exp(torch.arange(half).float()
+                             * -(math.log(10000.0) / (half - 1)))
+            e = torch.cat([torch.sin(steps * freq), torch.cos(steps * freq)],
+                          dim=1)
+            e = self.residual_layer.fc_t1(e)
+            e = e * torch.sigmoid(e)
+            e = self.residual_layer.fc_t2(e)
+            emb = e * torch.sigmoid(e)
+            h = torch.relu(self.init_conv(x))
+            skip = 0
+            for blk in self.residual_layer.residual_blocks:
+                hh = h + blk.fc_t(emb)[:, :, None]
+                hh = blk.dilated_conv_layer(hh)
+                gate = torch.tanh(hh[:, :RES]) * torch.sigmoid(hh[:, RES:])
+                h = (h + blk.res_conv(gate)) * math.sqrt(0.5)
+                skip = skip + blk.skip_conv(gate)
+            out = skip * math.sqrt(1.0 / LAYERS)
+            return self.final_conv(out)
+
+    return Net()
+
+
+def test_convert_diffwave_matches_torch_forward():
+    torch.manual_seed(0)
+    tnet = _build_torch_wavenet().eval()
+    sd = tnet.state_dict()
+    params = convert_diffwave(sd, num_res_layers=LAYERS)
+
+    net = WaveNet(res_channels=RES, skip_channels=SKIP,
+                  num_res_layers=LAYERS, dilation_cycle=CYCLE,
+                  diffusion_step_embed_dim_in=EIN,
+                  diffusion_step_embed_dim_mid=EMID,
+                  diffusion_step_embed_dim_out=EOUT)
+    x = np.random.RandomState(0).randn(2, 1, 128).astype(np.float32) * 0.3
+    steps = np.array([[3.0], [17.0]], dtype=np.float32)
+    got = np.asarray(net.apply(params, jnp.asarray(x), jnp.asarray(steps)))
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x), torch.from_numpy(steps)).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# EMA / samplers
+# ---------------------------------------------------------------------------
+
+def test_update_ema():
+    ema = {"w": jnp.ones(3)}
+    new = update_ema(ema, {"w": jnp.zeros(3)}, rate=0.9)
+    np.testing.assert_allclose(np.asarray(new["w"]), 0.9)
+
+
+def test_uniform_sampler():
+    s = UniformSampler(100)
+    t, w = s.sample(1000, np.random.default_rng(0))
+    assert t.min() >= 0 and t.max() < 100
+    np.testing.assert_allclose(w, 1.0)
+
+
+def test_loss_second_moment_resampler():
+    s = LossSecondMomentResampler(10, history_per_term=2)
+    rng = np.random.default_rng(0)
+    t, w = s.sample(8, rng)
+    np.testing.assert_allclose(w, 1.0)  # not warmed up: uniform
+    # feed history: high loss at t=0
+    for _ in range(3):
+        s.update_with_all_losses(np.arange(10),
+                                 np.asarray([10.0] + [0.1] * 9))
+    assert s._warmed_up()
+    wts = s.weights()
+    assert wts[0] > wts[1] * 5  # t=0 heavily oversampled
+    d = create_named_schedule_sampler("loss-second-moment",
+                                      type("D", (), {"num_timesteps": 5})())
+    assert isinstance(d, LossSecondMomentResampler)
+
+
+# ---------------------------------------------------------------------------
+# TrainLoop
+# ---------------------------------------------------------------------------
+
+def _tiny_data(n_batches=10**9, batch=8):
+    rng = np.random.RandomState(0)
+    base = rng.randn(1, 1, 8, 8).astype(np.float32) * 0.2
+    i = 0
+    while i < n_batches:
+        yield {"spectrogram": np.repeat(base, batch, axis=0)
+               + rng.randn(batch, 1, 8, 8).astype(np.float32) * 0.01}
+        i += 1
+
+
+def _tiny_unet_apply():
+    from audiopure_tpu.models.unet import UNetModel
+    net = UNetModel(model_channels=8, num_res_blocks=1,
+                    attention_resolutions=(), channel_mult=(1,),
+                    dropout=0.0, num_heads=1)
+    x0 = jnp.zeros((1, 1, 8, 8))
+    params = net.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,)))
+    return (lambda p, x, t: net.apply(p, x, t)), params
+
+
+def test_train_loop_descends_and_saves(tmp_path):
+    from audiopure_tpu.utils import logging as logger
+    logger.configure(str(tmp_path / "logs"), ["csv"])
+
+    apply_fn, params = _tiny_unet_apply()
+    diffusion = create_gaussian_diffusion(steps=20)
+    loop = TrainLoop(apply_fn, params, diffusion, _tiny_data(),
+                     batch_size=8, microbatch=4, lr=1e-3,
+                     ema_rate="0.5,0.9", save_interval=5)
+    losses = [loop.run_step(b) for _, b in zip(range(12), _tiny_data())]
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+    assert loop.step == 12
+    loop.save(str(tmp_path / "ckpt"))
+    assert ckpt_lib.find_max_step(str(tmp_path / "ckpt")) == 12
+
+    # resume restores params bit-exact
+    loop2 = TrainLoop(apply_fn, params, diffusion, _tiny_data(),
+                      batch_size=8, lr=1e-3, ema_rate="0.5,0.9",
+                      resume_checkpoint=str(tmp_path / "ckpt"))
+    for a, b in zip(jax.tree_util.tree_leaves(loop.params),
+                    jax.tree_util.tree_leaves(loop2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert loop2.step == 12
+
+
+# ---------------------------------------------------------------------------
+# classifier training
+# ---------------------------------------------------------------------------
+
+def _m5_setup():
+    from audiopure_tpu.models import create_classifier
+    model = create_classifier("m5", num_classes=2)
+    x = jnp.zeros((4, 1, 8192))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return model, variables
+
+
+def _toy_batches(n, batch=16, L=8192, seed=0):
+    """Binary task: class = sign of low-freq energy."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(L) / 16000.0
+    for _ in range(n):
+        y = rng.randint(0, 2, size=batch)
+        x = np.stack([
+            (0.5 * np.sin(2 * np.pi * (400 if yi else 3000) * t)
+             + 0.02 * rng.randn(L)).astype(np.float32) for yi in y])
+        yield x[:, None, :], y
+
+
+def test_classifier_training_learns():
+    model, variables = _m5_setup()
+    opt = make_optimizer("adam", lr=2e-3)
+    step = make_train_step(model.apply, opt)
+    state = init_classifier_state(variables, opt, jax.random.PRNGKey(0))
+    accs = []
+    for x, y in _toy_batches(30):
+        state, m = step(state, jnp.asarray(x), jnp.asarray(y))
+        accs.append(float(m["acc"]))
+    assert np.mean(accs[-5:]) > 0.9
+
+    ev = make_eval_step(model.apply)
+    x, y = next(_toy_batches(1, seed=99))
+    out = ev(state.variables, jnp.asarray(x), jnp.asarray(y))
+    assert int(out["correct"]) >= 13
+
+
+def test_adversarial_and_mixup_training_run():
+    model, variables = _m5_setup()
+    opt = make_optimizer("sgd", lr=1e-2)
+    step = make_train_step(
+        model.apply, opt, mixup_alpha=0.2,
+        adv_config={"eps": 0.01, "alpha": 0.003, "steps": 3, "ratio": 0.5})
+    state = init_classifier_state(variables, opt, jax.random.PRNGKey(1))
+    for x, y in _toy_batches(3):
+        state, m = step(state, jnp.asarray(x), jnp.asarray(y))
+        assert np.isfinite(float(m["loss"]))
+
+
+def test_lr_controllers():
+    pl = ReduceLROnPlateau(0.1, patience=1, factor=0.5)
+    assert pl.step(1.0) == 0.1
+    assert pl.step(1.1) == 0.1   # 1 bad epoch
+    assert pl.step(1.2) == 0.05  # patience exceeded
+    sl = StepLR(0.1, step_size=2, gamma=0.1)
+    assert sl.at_epoch(0) == 0.1 and sl.at_epoch(2) == pytest.approx(0.01)
+
+    opt = make_optimizer("sgd", lr=0.1)
+    state = opt.init({"w": jnp.ones(2)})
+    state = set_lr(state, 0.05)
+    assert float(state.hyperparams["learning_rate"]) == pytest.approx(0.05)
