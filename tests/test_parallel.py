@@ -1,0 +1,104 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh: dp-sharded
+purify+classify eval, dp x tp training step, layout helpers."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from audiopure_tpu.diffusion import make_schedule
+from audiopure_tpu.diffusion.vpsde import RevDiffWave
+from audiopure_tpu.models.wavenet import WaveNet
+from audiopure_tpu.parallel import (batch_sharding, make_mesh, replicated,
+                                    shard_params_tp)
+from audiopure_tpu.training.diffwave import (init_train_state,
+                                             make_train_step)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(dp=-1, tp=2)
+    assert mesh.shape["dp"] == 4 and mesh.shape["tp"] == 2
+    mesh2 = make_mesh(dp=8, tp=1)
+    assert mesh2.shape["dp"] == 8
+    with pytest.raises(AssertionError):
+        make_mesh(dp=3, tp=2)
+
+
+def test_shard_params_tp_layout():
+    mesh = make_mesh(dp=-1, tp=2)
+    params = {"big": jnp.zeros((128, 64)), "small": jnp.zeros((3,)),
+              "odd": jnp.zeros((65, 7))}
+    sh = shard_params_tp(params, mesh, min_size=64)
+    assert sh["big"].spec == P("tp", None)   # largest divisible dim
+    assert sh["small"].spec == P()           # too small: replicated
+    assert sh["odd"].spec == P()             # nothing divisible
+
+
+def test_dp_sharded_purify_classify():
+    """The headline eval path sharded over 8 devices on the batch axis:
+    per-device results must match the single-device run."""
+    mesh = make_mesh(dp=8, tp=1)
+    net = WaveNet(res_channels=8, skip_channels=8, num_res_layers=2,
+                  dilation_cycle=2, diffusion_step_embed_dim_in=16,
+                  diffusion_step_embed_dim_mid=32,
+                  diffusion_step_embed_dim_out=32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 1, 512)) * 0.1
+    params = net.init(jax.random.PRNGKey(1), x[:1], jnp.zeros((1, 1)))
+    eps_fn = lambda xx, tt: net.apply(params, xx, tt)
+    defender = RevDiffWave(eps_fn, T=50, t=2)
+
+    def purify_sum(x, key):
+        return defender(x, key).sum(axis=(1, 2))
+
+    key = jax.random.PRNGKey(2)
+    ref = jax.jit(purify_sum)(x, key)
+
+    x_sharded = jax.device_put(x, batch_sharding(mesh))
+    sharded_fn = jax.jit(purify_sum,
+                         in_shardings=(batch_sharding(mesh),
+                                       replicated(mesh)),
+                         out_shardings=batch_sharding(mesh, ndim=1))
+    with mesh:
+        got = sharded_fn(x_sharded, jax.device_put(key, replicated(mesh)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_dp_tp_train_step_runs_and_matches_replicated():
+    """One DiffWave training step on (dp=4, tp=2) equals the unsharded
+    step bit-for-bit (same program, different layout)."""
+    mesh = make_mesh(dp=-1, tp=2)
+    net = WaveNet(res_channels=64, skip_channels=64, num_res_layers=2,
+                  dilation_cycle=2, diffusion_step_embed_dim_in=16,
+                  diffusion_step_embed_dim_mid=64,
+                  diffusion_step_embed_dim_out=64)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 1, 256))
+    params = net.init(jax.random.PRNGKey(1), x[:1], jnp.zeros((1, 1)))
+    schedule = make_schedule(50, 1e-4, 0.02)
+    optimizer = optax.adam(1e-3)
+    step_fn = make_train_step(net.apply, schedule, optimizer)
+
+    state = init_train_state(params, optimizer, jax.random.PRNGKey(2))
+    _, loss_ref = jax.jit(step_fn)(state, x)
+
+    psh = shard_params_tp(params, mesh, min_size=32)
+    rep = replicated(mesh)
+    ssh = type(state)(step=rep, params=psh,
+                      opt_state=jax.tree_util.tree_map(lambda _: rep,
+                                                       state.opt_state),
+                      key=rep)
+    state_s = jax.device_put(state, ssh)
+    x_s = jax.device_put(x, batch_sharding(mesh))
+    f = jax.jit(step_fn, in_shardings=(ssh, batch_sharding(mesh)),
+                out_shardings=(ssh, rep))
+    with mesh:
+        state2, loss_sharded = f(state_s, x_s)
+    np.testing.assert_allclose(float(loss_sharded), float(loss_ref),
+                               rtol=1e-5)
+    # params actually sharded over tp
+    some_kernel = state2.params["params"]["res_block_0"]["dilated_conv"][
+        "kernel"]
+    assert len(some_kernel.sharding.device_set) >= 2
