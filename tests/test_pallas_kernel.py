@@ -1,0 +1,75 @@
+"""Pallas fused WaveNet block: parity with the flax model (interpret mode
+on CPU; the compiled path is exercised by bench.py on the TPU)."""
+
+import numpy as np
+import pytest
+
+import flax
+import jax
+import jax.numpy as jnp
+
+from audiopure_tpu.kernels.wavenet_block import (fused_residual_block,
+                                                 wavenet_forward_pallas)
+from audiopure_tpu.models.wavenet import WaveNet
+
+
+def _net_and_params(layers=4, cycle=2):
+    net = WaveNet(res_channels=8, skip_channels=8, num_res_layers=layers,
+                  dilation_cycle=cycle, diffusion_step_embed_dim_in=16,
+                  diffusion_step_embed_dim_mid=32,
+                  diffusion_step_embed_dim_out=32)
+    x = jnp.zeros((1, 1, 400))
+    params = flax.core.unfreeze(
+        net.init(jax.random.PRNGKey(1), x, jnp.zeros((1, 1))))
+    params["params"]["final_conv2"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(2),
+        params["params"]["final_conv2"]["kernel"].shape) * 0.1
+    return net, params
+
+
+def test_full_forward_matches_flax():
+    net, params = _net_and_params()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 400)) * 0.3
+    t = jnp.asarray([[3.0], [17.0]])
+    want = np.asarray(net.apply(params, x, t))
+    got = np.asarray(wavenet_forward_pallas(
+        params, x, t, num_res_layers=4, dilation_cycle=2, embed_dim_in=16,
+        dtype=jnp.float32, tile_l=200, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("dilation", [1, 4, 64])
+def test_block_dilation_edges(dilation):
+    """Edge correctness: zero padding (not bias) beyond the signal, for
+    dilations smaller and larger than the tile."""
+    C, L, TL = 8, 256, 128
+    key = jax.random.PRNGKey(dilation)
+    ks = jax.random.split(key, 8)
+    x = jax.random.normal(ks[0], (1, L, C)) * 0.5
+    tb = jax.random.normal(ks[1], (1, C)) * 0.5
+    wd = jax.random.normal(ks[2], (3, C, 2 * C)) * 0.2
+    bd = jax.random.normal(ks[3], (2 * C,)) * 0.1
+    wres = jax.random.normal(ks[4], (C, C)) * 0.2
+    bres = jax.random.normal(ks[5], (C,)) * 0.1
+    wskip = jax.random.normal(ks[6], (C, C)) * 0.2
+    bskip = jax.random.normal(ks[7], (C,)) * 0.1
+
+    got_x, got_s = fused_residual_block(
+        x, tb, wd, bd, wres, bres, wskip, bskip, dilation=dilation,
+        tile_l=TL, interpret=True)
+
+    # numpy reference of the reference block semantics
+    xb = np.asarray(x + tb[:, None, :])[0]
+    xp = np.pad(xb, ((dilation, dilation), (0, 0)))
+    h = (xp[:L] @ np.asarray(wd[0])
+         + xp[dilation: dilation + L] @ np.asarray(wd[1])
+         + xp[2 * dilation: 2 * dilation + L] @ np.asarray(wd[2])
+         + np.asarray(bd))
+    gate = np.tanh(h[:, :C]) / (1 + np.exp(-h[:, C:]))
+    want_x = (np.asarray(x)[0] + gate @ np.asarray(wres)
+              + np.asarray(bres)) * np.sqrt(0.5)
+    want_s = gate @ np.asarray(wskip) + np.asarray(bskip)
+    np.testing.assert_allclose(np.asarray(got_x)[0], want_x, atol=1e-4,
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_s)[0], want_s, atol=1e-4,
+                               rtol=1e-3)
