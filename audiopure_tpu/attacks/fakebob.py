@@ -186,3 +186,77 @@ class FAKEBOB:
         return self._attack(x, y, key)
 
     __call__ = generate
+
+    # ------------------------------------------------------------------
+    def estimate_threshold(self, x: jnp.ndarray, key: jax.Array,
+                           decision_fn: Callable, step: float = 0.1,
+                           max_outer: int = 20, max_inner: int = 200
+                           ) -> Optional[float]:
+        """Estimate the SV/OSI acceptance threshold by attacking rejected
+        inputs until one is accepted (ref ``estimate_threshold_run:221-311``).
+
+        ``decision_fn(x, key) -> (decision, score)`` where decision -1
+        means "reject"; only inputs the system currently rejects are
+        usable. Returns the mean estimated threshold, and stores it on
+        ``self.threshold`` (ref ``estimate_threshold:296-311``).
+        """
+        import numpy as np
+
+        if self.task == "CSI" or self.task == "SCR":
+            print("--- Warning: no need to estimate threshold for CSI, "
+                  "quitting ---")
+            return None
+
+        estimates = []
+        for i in range(x.shape[0]):
+            key, sub = jax.random.split(key)
+            est = self._estimate_threshold_run(
+                x[i: i + 1], sub, decision_fn, step, max_outer, max_inner)
+            if est is not None:
+                estimates.append(est)
+        self.threshold = float(np.mean(estimates)) if estimates else None
+        return self.threshold
+
+    def _estimate_threshold_run(self, x, key, decision_fn, step,
+                                max_outer, max_inner):
+        import numpy as np
+
+        from audiopure_tpu.attacks.losses import resolve_loss
+        from audiopure_tpu.attacks.nes import NES
+
+        key, k0 = jax.random.split(key)
+        d, s = decision_fn(x, k0)
+        if int(d[0]) != -1:
+            return None  # already accepted: unusable for estimation
+        init_score = float(np.max(np.asarray(s[0])))
+        delta = abs(init_score * step)
+        threshold = init_score + delta
+
+        lower = jnp.clip(x - self.epsilon, min=-1.0)
+        upper = jnp.clip(x + self.epsilon, max=1.0)
+        adver_x = x
+        y = jnp.asarray([-1])
+
+        for _ in range(max_outer):
+            loss_fn, grad_sign = resolve_loss(
+                "Margin", False, 0.0, self.task, threshold, False)
+            nes = NES(self.nes.eot.model_fn, loss_fn,
+                      self.nes.samples_per_draw, self.nes.batch,
+                      self.nes.sigma)
+            grad = jnp.zeros_like(x)
+            lr = self.max_lr
+            for _ in range(max_inner):
+                key, k1, k2 = jax.random.split(key, 3)
+                d, s = decision_fn(adver_x, k1)
+                score = float(np.max(np.asarray(s[0])))
+                if int(d[0]) != -1:
+                    return score       # accepted: threshold found
+                if score >= threshold:
+                    break              # exceeded candidate: raise it
+                res = nes(adver_x, y, k2)
+                grad = self.momentum * grad \
+                    + (1 - self.momentum) * res.grad
+                adver_x = jnp.clip(
+                    adver_x + grad_sign * lr * jnp.sign(grad), lower, upper)
+            threshold += delta
+        return None

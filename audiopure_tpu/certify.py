@@ -75,9 +75,9 @@ class RobustCertificate:
         return int(np.argmin(np.abs(abar - alpha_bar_star))) + 1
 
     # -- counts of predicted classes over noise draws ------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
     def _counts(self, x, key, num_sampling: int, sigma: float,
-                t_star: int) -> jnp.ndarray:
+                t_star: int, batch_size: int = 64) -> jnp.ndarray:
         """x: (1, 1, L); returns (num_classes,) histogram of predictions
         over ``num_sampling`` gaussian draws."""
         scale = (1.0 / (1.0 + sigma ** 2)) ** 0.5 \
@@ -89,8 +89,9 @@ class RobustCertificate:
             logits = self.forward(x_in, t_star)
             return jnp.argmax(logits, axis=-1)[0]
 
-        # chunk draws through scan to bound memory
-        chunk = min(num_sampling, 64)
+        # chunk draws through scan to bound memory (the reference's
+        # ``batch_size`` chunking, ``certified_robust.py:38-44``)
+        chunk = min(num_sampling, batch_size)
         n_chunks = -(-num_sampling // chunk)
         total = n_chunks * chunk
         keys = jax.random.split(key, total).reshape(n_chunks, chunk, -1)
@@ -116,20 +117,20 @@ class RobustCertificate:
         return counts
 
     def smooth_predict(self, x: jnp.ndarray, key: jax.Array,
-                       num_sampling: int = 100, sigma: float = 0.25
-                       ) -> np.ndarray:
+                       num_sampling: int = 100, sigma: float = 0.25,
+                       batch_size: int = 64) -> np.ndarray:
         """Histogram of the smoothed classifier's votes
         (ref ``smooth_predict:34-67``). x: (1, 1, L)."""
         assert x.shape[0] == 1
         t_star = self.compute_t_star(1.0 / (1.0 + sigma ** 2)) \
             if self.denoiser is not None else 0
         return np.asarray(self._counts(x, key, num_sampling, float(sigma),
-                                       t_star))
+                                       t_star, int(batch_size)))
 
     # -- full certification ---------------------------------------------------
     def certify(self, x: jnp.ndarray, y: jnp.ndarray, key: jax.Array,
                 sigma: float = 0.25, n_0: int = 100, n: int = 100000,
-                alpha: float = 1e-3) -> CertifyResult:
+                alpha: float = 1e-3, batch_size: int = 64) -> CertifyResult:
         """Per-example Cohen certification (ref ``certify:70-100``):
         n_0-draw selection, n-draw Clopper-Pearson bound, radius
         sigma * Phi^-1(p_A)."""
@@ -139,9 +140,9 @@ class RobustCertificate:
         for i in range(B):
             k0, k1, key = jax.random.split(key, 3)
             xi = x[i: i + 1]
-            counts0 = self.smooth_predict(xi, k0, n_0, sigma)
+            counts0 = self.smooth_predict(xi, k0, n_0, sigma, batch_size)
             c_A = int(np.argmax(counts0))
-            counts = self.smooth_predict(xi, k1, n, sigma)
+            counts = self.smooth_predict(xi, k1, n, sigma, batch_size)
             p_a = clopper_pearson_lower(int(counts[c_A]), n, alpha)
             if p_a > 0.5:
                 preds[i] = c_A

@@ -33,6 +33,9 @@ from jax.experimental.pallas import tpu as pltpu
 SQRT_HALF = math.sqrt(0.5)
 
 
+ALIGN = 16  # sublane alignment for bf16 DMA slice starts
+
+
 def _block_kernel(xb_pad_ref, x_ref, wd_ref, bd_ref, wres_ref, bres_ref,
                   wskip_ref, bskip_ref, xout_ref, skip_ref, scratch, sems,
                   *, dilation: int, tile_l: int, res_ch: int):
@@ -40,23 +43,42 @@ def _block_kernel(xb_pad_ref, x_ref, wd_ref, bd_ref, wres_ref, bres_ref,
     j = pl.program_id(1)
     l0 = j * tile_l
 
-    # DMA the three conv taps: rows [l0 + k*d, l0 + k*d + TL) of the
-    # padded input (padding d on both sides makes every read in-bounds)
-    copies = []
-    for k in range(3):
+    # Gather the three conv taps (rows [l0 + k*d, +TL) of the padded
+    # input). Mosaic requires sublane-aligned DMA slice starts, so:
+    #  * d % ALIGN == 0: three direct aligned DMA loads;
+    #  * small d: one aligned window load [l0, l0 + TL + 2*ALIGN) and
+    #    in-register rolls to realize the +-d shifts.
+    if dilation % ALIGN == 0:
+        copies = []
+        for k in range(3):
+            dma = pltpu.make_async_copy(
+                xb_pad_ref.at[b, pl.ds(l0 + k * dilation, tile_l), :],
+                scratch.at[k, :tile_l],
+                sems.at[k],
+            )
+            dma.start()
+            copies.append(dma)
+        for dma in copies:
+            dma.wait()
+        taps = [scratch[k, :tile_l] for k in range(3)]
+    else:
+        assert 2 * dilation <= 2 * ALIGN, dilation
         dma = pltpu.make_async_copy(
-            xb_pad_ref.at[b, pl.ds(l0 + k * dilation, tile_l), :],
-            scratch.at[k],
-            sems.at[k],
+            xb_pad_ref.at[b, pl.ds(l0, tile_l + 2 * ALIGN), :],
+            scratch.at[0],
+            sems.at[0],
         )
         dma.start()
-        copies.append(dma)
-    for dma in copies:
         dma.wait()
+        window = scratch[0]
+        wlen = tile_l + 2 * ALIGN
+        # pltpu.roll wants non-negative shifts: roll(-s) == roll(len - s)
+        taps = [pltpu.roll(window, (wlen - k * dilation) % wlen, 0)[:tile_l]
+                for k in range(3)]
 
     h = jnp.zeros((tile_l, 2 * res_ch), dtype=jnp.float32)
     for k in range(3):
-        h = h + jnp.dot(scratch[k], wd_ref[k],
+        h = h + jnp.dot(taps[k], wd_ref[k],
                         preferred_element_type=jnp.float32)
     h = h + bd_ref[:].astype(jnp.float32)[None, :]
 
@@ -96,9 +118,11 @@ def fused_residual_block(
     dtype = x.dtype
 
     # timestep bias applied before padding so pad rows stay exactly zero
-    # (the conv sees zero padding, not bias — reference semantics)
+    # (the conv sees zero padding, not bias — reference semantics); extra
+    # tail pad keeps the small-dilation window DMA in bounds
     xb = x + t_bias[:, None, :].astype(dtype)
-    xb_pad = jnp.pad(xb, ((0, 0), (dilation, dilation), (0, 0)))
+    tail = dilation if dilation % 16 == 0 else dilation + 32
+    xb_pad = jnp.pad(xb, ((0, 0), (dilation, tail), (0, 0)))
 
     grid = (B, L // tile_l)
     wspec = lambda: pl.BlockSpec(memory_space=pltpu.ANY)  # noqa: E731
@@ -136,7 +160,7 @@ def fused_residual_block(
         out_specs=(block_l, block_skip),
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((3, tile_l, C), dtype),
+            pltpu.VMEM((3, tile_l + 2 * ALIGN, C), dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(

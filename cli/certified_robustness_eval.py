@@ -67,7 +67,8 @@ def main(argv=None):
         y = np.asarray(batch["target"])
         key, sub = jax.random.split(key)
         res = rc.certify(x, y, sub, sigma=args.sigma, n_0=args.n0,
-                         n=args.n, alpha=args.alpha)
+                         n=args.n, alpha=args.alpha,
+                         batch_size=args.certify_batch)
         for i in range(len(y)):
             records.append(dict(
                 path=batch["path"][i], target=int(y[i]),

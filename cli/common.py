@@ -52,6 +52,13 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     d.add_argument("--grad_mode", type=str, default="ref",
                    choices=["ref", "full"],
                    help="'ref' reproduces the reference's stop-grad eps-net")
+    d.add_argument("--compute_dtype", type=str, default="f32",
+                   choices=["f32", "bf16"],
+                   help="eps-net compute dtype (bf16 for the TPU MXU)")
+    d.add_argument("--conv_impl", type=str, default="xla",
+                   choices=["xla", "matmul", "pallas"],
+                   help="WaveNet conv path; 'pallas' = fused VMEM-resident "
+                        "residual-block kernel (forward-only)")
 
     v = parser.add_argument_group("device/saving")
     v.add_argument("--batch_size", type=int, default=10)
@@ -87,10 +94,18 @@ def make_wave2spect(args):
 
 def load_diffwave_eps_fn(args):
     """Build the DiffWave eps-net from an orbax dir or torch .pkl ckpt."""
+    import dataclasses
+
     from audiopure_tpu.models.wavenet import make_wavenet
 
     cfg = load_config(args.ddpm_config) if args.ddpm_config else Config()
+    dtype = jnp.bfloat16 if getattr(args, "compute_dtype",
+                                    "f32") == "bf16" else jnp.float32
+    conv_impl = getattr(args, "conv_impl", "xla")
     net = make_wavenet(cfg.wavenet)
+    net = dataclasses.replace(
+        net, dtype=dtype,
+        conv_impl=conv_impl if conv_impl != "pallas" else "xla")
     if args.ddpm_path and os.path.isdir(args.ddpm_path):
         with_meta = os.path.exists(os.path.join(args.ddpm_path,
                                                 "meta.json"))

@@ -24,6 +24,10 @@ def main(argv=None):
     parser.add_argument("--ckpt_path", required=True,
                         help="orbax dir or torch .pkl")
     parser.add_argument("-n", "--num_samples", type=int, default=4)
+    parser.add_argument("--fast", type=int, default=0, metavar="K",
+                        help="K-step respaced fast sampling instead of "
+                             "full-T (ref fast_reverse, "
+                             "diffwave_ddpm.py:106-141)")
     parser.add_argument("--output_directory", default="speeches")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
@@ -59,9 +63,19 @@ def main(argv=None):
 
     seg = cfg.trainset.segment_length
     shape = (args.num_samples, 1, seg)
-    print(f"begin sampling, total number of reverse steps = "
-          f"{cfg.diffusion.T}")
-    sample_jit = jax.jit(lambda k: sampler.sample(k, shape))
+    if args.fast > 0:
+        print(f"begin fast sampling with K = {args.fast} steps")
+
+        def _fast(k):
+            k0, k1 = jax.random.split(k)
+            x_T = jax.random.normal(k0, shape, dtype=jnp.float32)
+            return sampler.fast_reverse(x_T, k1, K=args.fast)
+
+        sample_jit = jax.jit(_fast)
+    else:
+        print(f"begin sampling, total number of reverse steps = "
+              f"{cfg.diffusion.T}")
+        sample_jit = jax.jit(lambda k: sampler.sample(k, shape))
     sample_jit(jax.random.PRNGKey(99))[0].block_until_ready()  # compile
 
     t0 = time.perf_counter()

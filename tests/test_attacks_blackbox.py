@@ -71,3 +71,33 @@ def test_fakebob_requires_threshold_for_sv():
     import pytest
     with pytest.raises(NotImplementedError):
         FAKEBOB(linear_model, task="SV")
+
+
+def test_fakebob_estimate_threshold_osi():
+    """Threshold estimation on an OSI toy: the system accepts when
+    max-score >= 2.0; the estimator should recover ~that value
+    (ref ``estimate_threshold_run``, ``black_box_attack.py:221-311``)."""
+    TRUE_T = 2.0
+
+    def model_fn(x, key):
+        s = jnp.sum(x, axis=(1, 2))
+        return jnp.stack([s, s * 0.5], axis=1)
+
+    def decision_fn(x, key):
+        scores = model_fn(x, key)
+        mx = scores.max(axis=1)
+        return jnp.where(mx >= TRUE_T, jnp.argmax(scores, 1), -1), scores
+
+    atk = FAKEBOB(model_fn, task="OSI", threshold=0.5, epsilon=3.0,
+                  max_lr=0.05, samples_per_draw=16,
+                  samples_per_draw_batch_size=16)
+    x = jnp.ones((1, 1, 64)) * 0.01
+    est = atk.estimate_threshold(x, jax.random.PRNGKey(0), decision_fn,
+                                 step=3.0, max_outer=50)
+    assert est is not None and TRUE_T <= est < TRUE_T * 2
+    assert atk.threshold == est
+
+    # CSI task: warning + None (ref ``estimate_threshold:296-299``)
+    atk2 = FAKEBOB(model_fn, task="SCR")
+    assert atk2.estimate_threshold(x, jax.random.PRNGKey(0),
+                                   decision_fn) is None
