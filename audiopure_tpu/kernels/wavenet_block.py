@@ -72,9 +72,17 @@ def _block_kernel(xb_pad_ref, x_ref, wd_ref, bd_ref, wres_ref, bres_ref,
         dma.wait()
         window = scratch[0]
         wlen = tile_l + 2 * ALIGN
-        # pltpu.roll wants non-negative shifts: roll(-s) == roll(len - s)
-        taps = [pltpu.roll(window, (wlen - k * dilation) % wlen, 0)[:tile_l]
-                for k in range(3)]
+        # Mosaic only rotates 32-bit data; a sublane roll is invariant to
+        # lane packing, so bitcast bf16 pairs to int32, roll, bitcast back.
+        # roll(-s) == roll(len - s) (shifts must be non-negative).
+        if window.dtype.itemsize < 4:
+            w32 = pltpu.bitcast(window, jnp.int32)
+            taps = [pltpu.bitcast(
+                pltpu.roll(w32, (wlen - k * dilation) % wlen, 0),
+                window.dtype)[:tile_l] for k in range(3)]
+        else:
+            taps = [pltpu.roll(window, (wlen - k * dilation) % wlen,
+                               0)[:tile_l] for k in range(3)]
 
     h = jnp.zeros((tile_l, 2 * res_ch), dtype=jnp.float32)
     for k in range(3):

@@ -1,0 +1,115 @@
+"""End-to-end CLI integration tests on synthetic datasets (tiny configs).
+
+These mirror the reference's only QA mechanism — running the eval scripts —
+but automated (SURVEY.md §4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from audiopure_tpu.data import write_wav
+from audiopure_tpu.data.datasets import SC09_CLASSES
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_data")
+    rng = np.random.RandomState(0)
+    t = np.arange(16000) / 16000.0
+    for split in ("train", "valid"):
+        for ci, c in enumerate(SC09_CLASSES):
+            d = root / split / c
+            d.mkdir(parents=True)
+            for i in range(2):
+                tone = (0.3 * np.sin(2 * np.pi * (300 + 300 * ci) * t)
+                        + 0.01 * rng.randn(16000))
+                write_wav(str(d / f"{i}.wav"), tone.astype(np.float32),
+                          16000)
+    return root
+
+
+@pytest.fixture(scope="module")
+def clf_ckpt(data_root):
+    from cli.train_speech_commands import main as train_main
+
+    ckpt = str(data_root / "clf")
+    train_main(["--train_dataset", str(data_root / "train"),
+                "--valid_dataset", str(data_root / "valid"),
+                "--model", "m5", "--sc09", "--max_epochs", "1",
+                "--batch_size", "10", "--optim", "adam",
+                "--checkpoint_dir", ckpt])
+    return os.path.join(ckpt, "best-acc")
+
+
+def test_train_and_test_cli(data_root, clf_ckpt):
+    from cli.test_speech_commands import main as test_main
+
+    acc, confusion = test_main(["--dataset_dir", str(data_root / "valid"),
+                                "--sc09", "--classifier_path", clf_ckpt,
+                                "--batch_size", "20"])
+    assert confusion.shape == (10, 10)
+    assert confusion.sum() == 20
+
+
+def test_adaptive_attack_eval_cli(data_root, clf_ckpt, tmp_path):
+    from cli.adaptive_attack_eval import main
+
+    res = main(["--data_path", str(data_root / "valid"),
+                "--num_per_class", "1", "--batch_size", "10",
+                "--classifier_path", clf_ckpt, "--defense", "AS",
+                "--attack", "PGD", "--max_iter_1", "2", "--eps", "0.02",
+                "--save_path", str(tmp_path / "dumps")])
+    assert res["total"] == 10
+    # robust acc may exceed clean-undefended acc (the defense can fix
+    # clean mistakes); just check the metrics are valid rates
+    for k in ("acc_orig", "acc_denoised", "acc_robust"):
+        assert 0.0 <= res[k] <= 1.0
+    assert os.path.exists(str(tmp_path / "dumps" / "adv"))
+
+
+def test_diffwave_train_and_inference_cli(data_root, tmp_path):
+    from cli.diffwave_inference import main as inf_main
+    from cli.diffwave_train import main as dw_main
+
+    cfg = dict(
+        diffusion_config=dict(T=20, beta_0=1e-4, beta_T=0.02),
+        wavenet_config=dict(
+            in_channels=1, res_channels=8, skip_channels=8, out_channels=1,
+            num_res_layers=2, dilation_cycle=2,
+            diffusion_step_embed_dim_in=16, diffusion_step_embed_dim_mid=32,
+            diffusion_step_embed_dim_out=32),
+        train_config=dict(iters_per_ckpt=3, iters_per_logging=2, n_iters=3,
+                          learning_rate=2e-4, batch_size_per_gpu=2,
+                          output_directory=str(tmp_path / "dw")),
+        trainset_config=dict(data_path=str(data_root / "train"),
+                             segment_length=16000, sampling_rate=16000),
+    )
+    cfg_path = str(tmp_path / "cfg.json")
+    json.dump(cfg, open(cfg_path, "w"))
+
+    loss = dw_main(["-c", cfg_path, "--tp", "2", "--batch_size", "4"])
+    assert np.isfinite(loss)
+
+    inf_main(["-c", cfg_path, "--ckpt_path", str(tmp_path / "dw"),
+              "-n", "1", "--output_directory", str(tmp_path / "out")])
+    assert os.path.exists(str(tmp_path / "out" / "sample_0.wav"))
+    # fast K-step variant
+    inf_main(["-c", cfg_path, "--ckpt_path", str(tmp_path / "dw"),
+              "-n", "1", "--fast", "3",
+              "--output_directory", str(tmp_path / "out_fast")])
+    assert os.path.exists(str(tmp_path / "out_fast" / "sample_0.wav"))
+
+
+def test_certified_eval_cli(data_root, clf_ckpt, tmp_path):
+    from cli.certified_robustness_eval import main
+
+    out_path = str(tmp_path / "cert.json")
+    out = main(["--data_path", str(data_root / "valid"),
+                "--num_per_class", "1", "--classifier_path", clf_ckpt,
+                "--batch_size", "5", "--n0", "8", "--n", "32",
+                "--certify_batch", "16", "--output", out_path])
+    assert len(out["records"]) == 10
+    loaded = json.load(open(out_path))
+    assert loaded["n"] == 32
