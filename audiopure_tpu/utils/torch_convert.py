@@ -106,3 +106,119 @@ def convert_diffwave(sd: Dict[str, Any], num_res_layers: int = 36
 def convert_diffwave_checkpoint(path: str, num_res_layers: int = 36
                                 ) -> Dict[str, Any]:
     return convert_diffwave(load_torch_state_dict(path), num_res_layers)
+
+
+# ---------------------------------------------------------------------------
+# Improved-Diffusion UNet
+# ---------------------------------------------------------------------------
+
+def _conv2d_w(w: np.ndarray) -> np.ndarray:
+    """torch conv2d (out, in, kh, kw) -> flax (kh, kw, in, out)."""
+    return np.transpose(_np(w), (2, 3, 1, 0)).copy()
+
+
+def _gn(sd, prefix):
+    return {"scale": _np(sd[prefix + "weight"]),
+            "bias": _np(sd[prefix + "bias"])}
+
+
+def _conv1d_as_dense(sd, prefix):
+    """torch conv1d k=1 (out, in, 1) -> flax Dense (in, out)."""
+    return {"kernel": _np(sd[prefix + "weight"])[:, :, 0].T.copy(),
+            "bias": _np(sd[prefix + "bias"])}
+
+
+def _resblock(sd, prefix):
+    """torch ResBlock (``unet.py:107-171``) -> our ResBlock params."""
+    out = {
+        "GroupNorm_0": _gn(sd, prefix + "in_layers.0."),
+        "in_conv": {"kernel": _conv2d_w(sd[prefix + "in_layers.2.weight"]),
+                    "bias": _np(sd[prefix + "in_layers.2.bias"])},
+        "emb_proj": _dense(sd, prefix + "emb_layers.1."),
+        "GroupNorm_1": _gn(sd, prefix + "out_layers.0."),
+        "out_conv": {"kernel": _conv2d_w(sd[prefix + "out_layers.3.weight"]),
+                     "bias": _np(sd[prefix + "out_layers.3.bias"])},
+    }
+    if prefix + "skip_connection.weight" in sd:
+        out["skip_conv"] = {
+            "kernel": _conv2d_w(sd[prefix + "skip_connection.weight"]),
+            "bias": _np(sd[prefix + "skip_connection.bias"])}
+    return out
+
+
+def _attention(sd, prefix):
+    """torch AttentionBlock (``unet.py:200-230``) -> our params. The qkv
+    1x1-conv channel layout ([head-major, (q,k,v)-minor]) matches our
+    (B, T, H, 3ch) reshape, so a plain transpose suffices."""
+    return {
+        "GroupNorm_0": _gn(sd, prefix + "norm."),
+        "qkv": _conv1d_as_dense(sd, prefix + "qkv."),
+        "proj_out": _conv1d_as_dense(sd, prefix + "proj_out."),
+    }
+
+
+def convert_improved_diffusion_unet(
+    sd: Dict[str, Any],
+    num_res_blocks: int = 3,
+    channel_mult=(1, 2, 2, 2),
+    attention_ds=(2, 4),
+    class_cond: bool = False,
+) -> Dict[str, Any]:
+    """Improved-Diffusion UNet state dict -> flax params for
+    :class:`audiopure_tpu.models.unet.UNetModel` (the audio repo config by
+    default: ``script_util.py:11-126``)."""
+    p: Dict[str, Any] = {}
+    p["time_1"] = _dense(sd, "time_embed.0.")
+    p["time_2"] = _dense(sd, "time_embed.2.")
+    if class_cond:
+        p["label_emb"] = {"embedding": _np(sd["label_emb.weight"])}
+
+    p["in_conv"] = {"kernel": _conv2d_w(sd["input_blocks.0.0.weight"]),
+                    "bias": _np(sd["input_blocks.0.0.bias"])}
+
+    idx = 1
+    ds = 1
+    for level, mult in enumerate(channel_mult):
+        for i in range(num_res_blocks):
+            pre = f"input_blocks.{idx}."
+            p[f"down_{level}_{i}"] = _resblock(sd, pre + "0.")
+            if ds in attention_ds:
+                p[f"down_attn_{level}_{i}"] = _attention(sd, pre + "1.")
+            idx += 1
+        if level != len(channel_mult) - 1:
+            p[f"downsample_{level}"] = {
+                "kernel": _conv2d_w(sd[f"input_blocks.{idx}.0.op.weight"]),
+                "bias": _np(sd[f"input_blocks.{idx}.0.op.bias"])}
+            idx += 1
+            ds *= 2
+
+    p["mid_res1"] = _resblock(sd, "middle_block.0.")
+    p["mid_attn"] = _attention(sd, "middle_block.1.")
+    p["mid_res2"] = _resblock(sd, "middle_block.2.")
+
+    idx = 0
+    for level, mult in reversed(list(enumerate(channel_mult))):
+        for i in range(num_res_blocks + 1):
+            pre = f"output_blocks.{idx}."
+            p[f"up_{level}_{i}"] = _resblock(sd, pre + "0.")
+            sub = 1
+            if ds in attention_ds:
+                p[f"up_attn_{level}_{i}"] = _attention(sd, pre + f"{sub}.")
+                sub += 1
+            if level and i == num_res_blocks:
+                p[f"upsample_{level}"] = {
+                    "kernel": _conv2d_w(
+                        sd[pre + f"{sub}.conv.weight"]),
+                    "bias": _np(sd[pre + f"{sub}.conv.bias"])}
+                ds //= 2
+            idx += 1
+
+    p["GroupNorm_0"] = _gn(sd, "out.0.")
+    p["out_conv"] = {"kernel": _conv2d_w(sd["out.2.weight"]),
+                     "bias": _np(sd["out.2.bias"])}
+    return {"params": p}
+
+
+def convert_unet_checkpoint(path: str, **kw) -> Dict[str, Any]:
+    return convert_improved_diffusion_unet(load_torch_state_dict(path),
+                                           **kw)
