@@ -6,11 +6,16 @@ The hot op of the whole framework (SURVEY.md §3.1: wall-clock is
 with the (L, 2C) pre-activation and the gate round-tripping through HBM.
 This kernel keeps everything for an (L-tile, C) block resident in VMEM:
 
-  * the three conv taps are three dynamic-sliced DMA loads from the
-    (zero-padded, timestep-biased) input in HBM — no im2col, any dilation;
+  * the three conv taps are element-offset BlockSpec views of the
+    (zero-padded, timestep-biased) input — pallas double-buffers them
+    automatically, overlapping HBM traffic with the MXU;
   * each tap is one (TL, C) x (C, 2C) MXU matmul accumulated in f32;
   * gate + both 1x1 convs + residual scale happen in-register;
   * weights use constant index maps, so they stay in VMEM across the grid.
+
+Small dilations (d not sublane-aligned) read one aligned window and realize
+the +-d shifts with in-register rolls (bitcast to 32-bit first — Mosaic
+only rotates 32-bit data).
 
 Forward-only by design: the purifier's reference gradient contract
 stop-gradients the eps-net (``diffwave_ddpm.py:166``), so the flagship
@@ -30,77 +35,49 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+try:  # element-offset block dims (jax >= 0.7 core API)
+    from jax._src.pallas.core import Element as _Element
+except ImportError:  # pragma: no cover
+    _Element = None
+
 SQRT_HALF = math.sqrt(0.5)
+ALIGN = 16  # sublane alignment for bf16 slice starts
 
 
-ALIGN = 16  # sublane alignment for bf16 DMA slice starts
+def _rolled_taps(window, dilation: int, tile_l: int):
+    """Realize the three +-d shifts of an aligned window in-register.
+
+    Mosaic only rotates 32-bit data, and ``pltpu.bitcast`` packs along the
+    *sublane* dim (rolling packed rows would double the shift), so sub-32-bit
+    windows are value-cast to f32 for the roll and cast back — exact for
+    bf16.
+    """
+    wlen = window.shape[0]
+    w = window.astype(jnp.float32) if window.dtype.itemsize < 4 else window
+    return [pltpu.roll(w, (wlen - k * dilation) % wlen, 0)[:tile_l]
+            .astype(window.dtype) for k in range(3)]
 
 
-def _block_kernel(xb_pad_ref, x_ref, wd_ref, bd_ref, wres_ref, bres_ref,
-                  wskip_ref, bskip_ref, xout_ref, skip_ref, scratch, sems,
-                  *, dilation: int, tile_l: int, res_ch: int):
-    b = pl.program_id(0)
-    j = pl.program_id(1)
-    l0 = j * tile_l
-
-    # Gather the three conv taps (rows [l0 + k*d, +TL) of the padded
-    # input). Mosaic requires sublane-aligned DMA slice starts, so:
-    #  * d % ALIGN == 0: three direct aligned DMA loads;
-    #  * small d: one aligned window load [l0, l0 + TL + 2*ALIGN) and
-    #    in-register rolls to realize the +-d shifts.
-    if dilation % ALIGN == 0:
-        copies = []
-        for k in range(3):
-            dma = pltpu.make_async_copy(
-                xb_pad_ref.at[b, pl.ds(l0 + k * dilation, tile_l), :],
-                scratch.at[k, :tile_l],
-                sems.at[k],
-            )
-            dma.start()
-            copies.append(dma)
-        for dma in copies:
-            dma.wait()
-        taps = [scratch[k, :tile_l] for k in range(3)]
-    else:
-        assert 2 * dilation <= 2 * ALIGN, dilation
-        dma = pltpu.make_async_copy(
-            xb_pad_ref.at[b, pl.ds(l0, tile_l + 2 * ALIGN), :],
-            scratch.at[0],
-            sems.at[0],
-        )
-        dma.start()
-        dma.wait()
-        window = scratch[0]
-        wlen = tile_l + 2 * ALIGN
-        # Mosaic only rotates 32-bit data; a sublane roll is invariant to
-        # lane packing, so bitcast bf16 pairs to int32, roll, bitcast back.
-        # roll(-s) == roll(len - s) (shifts must be non-negative).
-        if window.dtype.itemsize < 4:
-            w32 = pltpu.bitcast(window, jnp.int32)
-            taps = [pltpu.bitcast(
-                pltpu.roll(w32, (wlen - k * dilation) % wlen, 0),
-                window.dtype)[:tile_l] for k in range(3)]
-        else:
-            taps = [pltpu.roll(window, (wlen - k * dilation) % wlen,
-                               0)[:tile_l] for k in range(3)]
-
-    h = jnp.zeros((tile_l, 2 * res_ch), dtype=jnp.float32)
+def _compute(taps, x_blk, wd_ref, bd_ref, wres_ref, bres_ref, wskip_ref,
+             bskip_ref, acc_blk, xout_ref, skip_ref, res_ch):
+    h = jnp.zeros((taps[0].shape[0], 2 * res_ch), dtype=jnp.float32)
     for k in range(3):
         h = h + jnp.dot(taps[k], wd_ref[k],
                         preferred_element_type=jnp.float32)
     h = h + bd_ref[:].astype(jnp.float32)[None, :]
 
     gate = (jnp.tanh(h[:, :res_ch])
-            * jax.nn.sigmoid(h[:, res_ch:])).astype(x_ref.dtype)
+            * jax.nn.sigmoid(h[:, res_ch:])).astype(x_blk.dtype)
 
     res = jnp.dot(gate, wres_ref[:], preferred_element_type=jnp.float32)
     res = res + bres_ref[:].astype(jnp.float32)[None, :]
-    xout_ref[:] = ((x_ref[:].astype(jnp.float32) + res)
+    xout_ref[:] = ((x_blk.astype(jnp.float32) + res)
                    * SQRT_HALF).astype(xout_ref.dtype)
 
     skip = jnp.dot(gate, wskip_ref[:], preferred_element_type=jnp.float32)
-    skip_ref[:] = (skip
-                   + bskip_ref[:].astype(jnp.float32)[None, :]).astype(
+    skip = skip + bskip_ref[:].astype(jnp.float32)[None, :]
+    # running skip accumulation fused in (saves the XLA add pass per layer)
+    skip_ref[:] = (acc_blk.astype(jnp.float32) + skip).astype(
         skip_ref.dtype)
 
 
@@ -115,68 +92,83 @@ def fused_residual_block(
     bres: jnp.ndarray,       # (C,)
     wskip: jnp.ndarray,      # (C, C_skip)
     bskip: jnp.ndarray,      # (C_skip,)
+    skip_acc: jnp.ndarray,   # (B, L, C_skip) running skip sum (accumulated)
     dilation: int,
-    tile_l: int = 2000,
+    tile_l: int = 1600,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (x_next, skip) of the reference block (``WaveNet.py:75-97``)."""
+    """Returns (x_next, skip_acc + skip) of the reference block
+    (``WaveNet.py:75-97``) with the cross-layer skip sum fused in."""
     B, L, C = x.shape
-    assert L % tile_l == 0, (L, tile_l)
+    assert L % tile_l == 0 and tile_l % ALIGN == 0, (L, tile_l)
     skip_ch = wskip.shape[-1]
     dtype = x.dtype
+    aligned = dilation % ALIGN == 0
 
     # timestep bias applied before padding so pad rows stay exactly zero
-    # (the conv sees zero padding, not bias — reference semantics); extra
-    # tail pad keeps the small-dilation window DMA in bounds
+    # (the conv sees zero padding, not bias — reference semantics); tail
+    # padding keeps the small-dilation window reads in bounds
     xb = x + t_bias[:, None, :].astype(dtype)
-    tail = dilation if dilation % 16 == 0 else dilation + 32
+    tail = dilation if aligned else dilation + 2 * ALIGN
     xb_pad = jnp.pad(xb, ((0, 0), (dilation, tail), (0, 0)))
 
     grid = (B, L // tile_l)
-    wspec = lambda: pl.BlockSpec(memory_space=pltpu.ANY)  # noqa: E731
-
-    out_shapes = (
-        jax.ShapeDtypeStruct((B, L, C), dtype),
-        jax.ShapeDtypeStruct((B, L, skip_ch), dtype),
-    )
-
     block_l = pl.BlockSpec((1, tile_l, C), lambda b, j: (b, j, 0))
     block_skip = pl.BlockSpec((1, tile_l, skip_ch), lambda b, j: (b, j, 0))
     const = lambda *s: pl.BlockSpec(s, lambda b, j: tuple(  # noqa: E731
         0 for _ in s), memory_space=pltpu.VMEM)
 
-    def kernel(xb_pad_ref, x_ref, wd_ref, bd_ref, wres_ref, bres_ref,
-               wskip_ref, bskip_ref, xout_ref, skip_ref, scratch, sems):
-        _block_kernel(
-            xb_pad_ref, x_ref[0], wd_ref, bd_ref[0], wres_ref, bres_ref[0],
-            wskip_ref, bskip_ref[0], xout_ref.at[0], skip_ref.at[0],
-            scratch, sems, dilation=dilation, tile_l=tile_l, res_ch=C)
+    def elem_spec(length, offset):
+        # element-offset view: start = j*tile_l + offset (auto-pipelined);
+        # pallas requires all dims Element if any is
+        return pl.BlockSpec(
+            (_Element(1), _Element(length), _Element(C)),
+            lambda b, j, off=offset: (
+                b, pl.multiple_of(j * tile_l + off, ALIGN), 0))
+
+    if aligned and _Element is not None:
+        tap_specs = [elem_spec(tile_l, k * dilation) for k in range(3)]
+        tap_inputs = [xb_pad] * 3
+    else:
+        tap_specs = [elem_spec(tile_l + 2 * ALIGN, 0)]
+        tap_inputs = [xb_pad]
+
+    def kernel(*refs):
+        tap_refs = refs[: len(tap_specs)]
+        (x_ref, wd_ref, bd_ref, wres_ref, bres_ref, wskip_ref, bskip_ref,
+         acc_ref, xout_ref, skip_ref) = refs[len(tap_specs):]
+        if len(tap_refs) == 3:
+            taps = [r[0] for r in tap_refs]
+        else:
+            taps = _rolled_taps(tap_refs[0][0], dilation, tile_l)
+        _compute(taps, x_ref[0], wd_ref, bd_ref[0], wres_ref, bres_ref[0],
+                 wskip_ref, bskip_ref[0], acc_ref[0], xout_ref.at[0],
+                 skip_ref.at[0], C)
 
     x_next, skip = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # xb_pad (HBM)
-            block_l,                                    # x tile
-            const(3, C, 2 * C),                         # wd
-            const(1, 2 * C),                            # bd
-            const(C, C),                                # wres
-            const(1, C),                                # bres
-            const(C, skip_ch),                          # wskip
-            const(1, skip_ch),                          # bskip
-        ],
+        in_specs=[*tap_specs,
+                  block_l,                 # x tile (residual input)
+                  const(3, C, 2 * C),      # wd
+                  const(1, 2 * C),         # bd
+                  const(C, C),             # wres
+                  const(1, C),             # bres
+                  const(C, skip_ch),       # wskip
+                  const(1, skip_ch),       # bskip
+                  block_skip],             # skip accumulator (aliased)
         out_specs=(block_l, block_skip),
-        out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((3, tile_l + 2 * ALIGN, C), dtype),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L, C), dtype),
+            jax.ShapeDtypeStruct((B, L, skip_ch), dtype),
+        ),
+        input_output_aliases={len(tap_specs) + 7: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(xb_pad, x, wd, bd[None, :], wres, bres[None, :], wskip,
-      bskip[None, :])
+    )(*tap_inputs, x, wd, bd[None, :], wres, bres[None, :], wskip,
+      bskip[None, :], skip_acc)
     return x_next, skip
 
 
@@ -185,7 +177,7 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
                            dilation_cycle: int = 12,
                            embed_dim_in: int = 128,
                            dtype=jnp.bfloat16,
-                           tile_l: int = 2000,
+                           tile_l: int = 1600,
                            interpret: bool = False) -> jnp.ndarray:
     """Full WaveNet forward using the fused block for every residual layer.
 
@@ -207,12 +199,13 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
         jnp.einsum("blc,kco->blo", x, p["init_conv"]["kernel"].astype(dtype))
         + p["init_conv"]["bias"].astype(dtype))
 
-    skip_sum = None
+    skip_ch = p["res_block_0"]["skip_conv"]["kernel"].shape[-1]
+    skip_sum = jnp.zeros((x.shape[0], x.shape[1], skip_ch), dtype=dtype)
     for n in range(num_res_layers):
         bp = p[f"res_block_{n}"]
         t_bias = (emb @ bp["fc_t"]["kernel"] + bp["fc_t"]["bias"]).astype(
             dtype)
-        h, skip = fused_residual_block(
+        h, skip_sum = fused_residual_block(
             h, t_bias,
             bp["dilated_conv"]["kernel"].astype(dtype),
             bp["dilated_conv"]["bias"],
@@ -220,9 +213,9 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
             bp["res_conv"]["bias"],
             bp["skip_conv"]["kernel"][0].astype(dtype),
             bp["skip_conv"]["bias"],
+            skip_sum,
             dilation=2 ** (n % dilation_cycle),
             tile_l=tile_l, interpret=interpret)
-        skip_sum = skip if skip_sum is None else skip_sum + skip
 
     out = skip_sum.astype(jnp.float32) * math.sqrt(1.0 / num_res_layers)
     out = jax.nn.relu(

@@ -30,6 +30,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 REVERSE_T = int(os.environ.get("BENCH_T", "3"))
 ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 DTYPE = os.environ.get("BENCH_DTYPE", "bf16")
+CONV = os.environ.get("BENCH_CONV", "pallas")  # {'xla', 'pallas'}
 
 
 def main():
@@ -50,7 +51,14 @@ def main():
 
     net = WaveNet(dtype=compute_dtype)  # full DiffWave config (36 x 256)
     wparams = net.init(jax.random.PRNGKey(1), x[:1], jnp.zeros((1, 1)))
-    eps_fn = lambda xx, tt: net.apply(wparams, xx, tt).astype(jnp.float32)
+    if CONV == "pallas":
+        from audiopure_tpu.kernels.wavenet_block import \
+            wavenet_forward_pallas
+        eps_fn = lambda xx, tt: wavenet_forward_pallas(
+            wparams, xx, tt, dtype=compute_dtype).astype(jnp.float32)
+    else:
+        eps_fn = lambda xx, tt: net.apply(wparams, xx, tt).astype(
+            jnp.float32)
     defender = RevDiffWave(eps_fn, T=200, t=REVERSE_T, sample_step=1,
                            remat=False)
 

@@ -22,6 +22,9 @@ def main(argv=None):
     parser.add_argument("--classifier_path", required=True)
     parser.add_argument("--batch_size", type=int, default=128)
     parser.add_argument("--sc09", action="store_true")
+    parser.add_argument("--multi_crop", action="store_true",
+                        help="3 time-crops + original, averaged "
+                             "(ref test_speech_commands.py:62-69)")
     args = parser.parse_args(argv)
 
     import jax
@@ -42,9 +45,25 @@ def main(argv=None):
     is_wave = meta["model_name"] == "m5"
     fe = None if is_wave else MelFrontEnd()
 
+    def _multi_crop(spec):
+        """(B, 1, M, T) -> (4B, 1, M, T): original + 3 shifted crops with
+        edge-replicate padding (ref ``multi_crop``)."""
+        b = 1
+        size = spec.shape[3] - 2 * b
+        patches = [spec[:, :, :, i * b: size + i * b] for i in range(3)]
+        crops = jnp.concatenate(patches, axis=0)
+        crops = jnp.pad(crops, ((0, 0), (0, 0), (0, 0), (b, b)),
+                        mode="edge")
+        return jnp.concatenate([spec, crops], axis=0)
+
     @jax.jit
     def predict(x):
         inp = x if fe is None else fe(x)
+        if args.multi_crop and fe is not None:
+            n = inp.shape[0]
+            out = model.apply(variables, _multi_crop(inp))
+            out = out.reshape(4, n, -1).mean(axis=0)
+            return jnp.argmax(out, -1)
         return jnp.argmax(model.apply(variables, inp), -1)
 
     ds_cls = SC09Dataset if args.sc09 else SpeechCommandsDataset

@@ -34,7 +34,7 @@ def test_full_forward_matches_flax():
     want = np.asarray(net.apply(params, x, t))
     got = np.asarray(wavenet_forward_pallas(
         params, x, t, num_res_layers=4, dilation_cycle=2, embed_dim_in=16,
-        dtype=jnp.float32, tile_l=200, interpret=True))
+        dtype=jnp.float32, tile_l=80, interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
 
 
@@ -54,8 +54,9 @@ def test_block_dilation_edges(dilation):
     wskip = jax.random.normal(ks[6], (C, C)) * 0.2
     bskip = jax.random.normal(ks[7], (C,)) * 0.1
 
+    acc = jax.random.normal(jax.random.PRNGKey(99), (1, L, C)) * 0.3
     got_x, got_s = fused_residual_block(
-        x, tb, wd, bd, wres, bres, wskip, bskip, dilation=dilation,
+        x, tb, wd, bd, wres, bres, wskip, bskip, acc, dilation=dilation,
         tile_l=TL, interpret=True)
 
     # numpy reference of the reference block semantics
@@ -68,7 +69,8 @@ def test_block_dilation_edges(dilation):
     gate = np.tanh(h[:, :C]) / (1 + np.exp(-h[:, C:]))
     want_x = (np.asarray(x)[0] + gate @ np.asarray(wres)
               + np.asarray(bres)) * np.sqrt(0.5)
-    want_s = gate @ np.asarray(wskip) + np.asarray(bskip)
+    want_s = (gate @ np.asarray(wskip) + np.asarray(bskip)
+              + np.asarray(acc)[0])
     np.testing.assert_allclose(np.asarray(got_x)[0], want_x, atol=1e-4,
                                rtol=1e-3)
     np.testing.assert_allclose(np.asarray(got_s)[0], want_s, atol=1e-4,
