@@ -125,6 +125,17 @@ def load_diffwave_eps_fn(args):
         x0 = jnp.zeros((1, 1, 16000))
         params = net.init(jax.random.PRNGKey(0), x0, jnp.zeros((1, 1)))
         print("WARNING: no --ddpm_path; using random-init DiffWave")
+
+    if conv_impl == "pallas":
+        from audiopure_tpu.kernels.wavenet_block import \
+            wavenet_forward_pallas
+
+        w = cfg.wavenet
+        return (lambda x, t: wavenet_forward_pallas(
+            params, x, t, num_res_layers=w.num_res_layers,
+            dilation_cycle=w.dilation_cycle,
+            embed_dim_in=w.diffusion_step_embed_dim_in,
+            dtype=dtype).astype(jnp.float32)), cfg
     return (lambda x, t: net.apply(params, x, t)), cfg
 
 
