@@ -25,6 +25,9 @@ def main(argv=None):
     parser.add_argument("--multi_crop", action="store_true",
                         help="3 time-crops + original, averaged "
                              "(ref test_speech_commands.py:62-69)")
+    parser.add_argument("--output", default=None,
+                        help="write per-file predictions CSV (the "
+                             "reference's kaggle submission mode)")
     args = parser.parse_args(argv)
 
     import jax
@@ -74,12 +77,14 @@ def main(argv=None):
     n_classes = meta["num_classes"]
     confusion = np.zeros((n_classes, n_classes), dtype=np.int64)
     correct = total = 0
+    predictions = {}
     for batch in loader:
         x = jnp.asarray(batch["samples"])[:, None, :]
         y = np.asarray(batch["target"])
         pred = np.asarray(predict(x))
-        for t, p in zip(y, pred):
+        for path, t, p in zip(batch["path"], y, pred):
             confusion[t, p] += 1
+            predictions[path] = int(p)
         correct += int((pred == y).sum())
         total += len(y)
 
@@ -87,6 +92,18 @@ def main(argv=None):
     print(f"accuracy: {100 * acc:.6f}%")
     print("confusion matrix:")
     print(confusion)
+
+    if args.output:
+        import csv
+        import os as _os
+
+        classes = ds.classes
+        with open(args.output, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["fname", "label"])
+            for path, p in predictions.items():
+                w.writerow([_os.path.basename(path), classes[p]])
+        print(f"wrote {args.output}")
     return acc, confusion
 
 

@@ -113,3 +113,24 @@ def test_certified_eval_cli(data_root, clf_ckpt, tmp_path):
     assert len(out["records"]) == 10
     loaded = json.load(open(out_path))
     assert loaded["n"] == 32
+
+
+def test_test_cli_multicrop_and_csv(data_root, tmp_path):
+    """Multi-crop averaging + kaggle-style CSV output on a mel classifier."""
+    from cli.test_speech_commands import main as test_main
+    from cli.train_speech_commands import main as train_main
+
+    ckpt = str(tmp_path / "wrn")
+    train_main(["--train_dataset", str(data_root / "train"),
+                "--valid_dataset", str(data_root / "valid"),
+                "--model", "resnet18", "--sc09", "--max_epochs", "1",
+                "--batch_size", "10", "--optim", "adam",
+                "--checkpoint_dir", ckpt])
+    csv_path = str(tmp_path / "preds.csv")
+    acc, conf = test_main(["--dataset_dir", str(data_root / "valid"),
+                           "--sc09", "--classifier_path",
+                           os.path.join(ckpt, "best-acc"),
+                           "--multi_crop", "--output", csv_path])
+    lines = open(csv_path).read().strip().splitlines()
+    assert lines[0] == "fname,label"
+    assert len(lines) == 21  # header + 20 files
