@@ -61,7 +61,8 @@ class SpeechCommandsDataset(_FolderDataset):
 
     def __init__(self, folder: str, transform=None,
                  classes: Sequence[str] = CLASSES,
-                 silence_percentage: float = 0.1):
+                 silence_percentage: float = 0.1,
+                 add_silence: bool = False):
         super().__init__(folder, transform, classes)
         all_classes = [d for d in os.listdir(folder)
                        if os.path.isdir(os.path.join(folder, d))
@@ -75,10 +76,13 @@ class SpeechCommandsDataset(_FolderDataset):
             target = class_to_idx[c]
             for f in sorted(os.listdir(d)):
                 self.data.append((os.path.join(d, f), target))
-        # silence examples: empty path -> LoadAudio emits zeros
-        target = class_to_idx.get("silence", 1)
-        n_silence = int(len(self.data) * silence_percentage)
-        self.data += [("", target)] * n_silence
+        # silence injection (empty path -> LoadAudio emits zeros). The
+        # reference ships this commented out (``sc_dataset.py:53-55``), so
+        # it is opt-in here for parity.
+        if add_silence:
+            target = class_to_idx.get("silence", 1)
+            n_silence = int(len(self.data) * silence_percentage)
+            self.data += [("", target)] * n_silence
 
 
 class SC09Dataset(_FolderDataset):

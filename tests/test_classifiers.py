@@ -84,3 +84,70 @@ def test_gru_matches_torch():
 
     got = np.asarray(layer.apply(variables, jnp.asarray(x)))
     np.testing.assert_allclose(got, want.numpy(), atol=1e-5, rtol=1e-4)
+
+
+def test_m5_matches_torch():
+    """M5 parity vs a torch twin built from the spec
+    (``audio_models/M5/M5Net.py:4-38``): conv1d VALID + BN(eval) + relu +
+    maxpool(4) x4 -> global avg -> fc -> log_softmax."""
+    import torch.nn as thnn
+    import torch.nn.functional as thF
+
+    from audiopure_tpu.models.m5 import M5
+
+    class TM5(thnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = thnn.Conv1d(1, 32, 80, 16)
+            self.bn1 = thnn.BatchNorm1d(32)
+            self.conv2 = thnn.Conv1d(32, 32, 3)
+            self.bn2 = thnn.BatchNorm1d(32)
+            self.conv3 = thnn.Conv1d(32, 64, 3)
+            self.bn3 = thnn.BatchNorm1d(64)
+            self.conv4 = thnn.Conv1d(64, 64, 3)
+            self.bn4 = thnn.BatchNorm1d(64)
+            self.fc1 = thnn.Linear(64, 10)
+
+        def forward(self, x):
+            for conv, bn in ((self.conv1, self.bn1), (self.conv2, self.bn2),
+                             (self.conv3, self.bn3), (self.conv4, self.bn4)):
+                x = thF.max_pool1d(thF.relu(bn(conv(x))), 4)
+            x = thF.avg_pool1d(x, x.shape[-1]).squeeze(-1)
+            return thF.log_softmax(self.fc1(x), dim=1)
+
+    torch.manual_seed(0)
+    tnet = TM5().eval()
+    # randomize BN running stats so eval-mode normalization is non-trivial
+    with torch.no_grad():
+        for bn in (tnet.bn1, tnet.bn2, tnet.bn3, tnet.bn4):
+            bn.running_mean.normal_(0, 0.1)
+            bn.running_var.uniform_(0.5, 1.5)
+
+    model = M5(n_output=10)
+    x_np = np.random.RandomState(0).randn(2, 1, 16000).astype(
+        np.float32) * 0.2
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x_np))
+
+    # copy torch weights into the flax tree
+    import flax
+    variables = flax.core.unfreeze(variables)
+    p, bs = variables["params"], variables["batch_stats"]
+    convs = [tnet.conv1, tnet.conv2, tnet.conv3, tnet.conv4]
+    bns = [tnet.bn1, tnet.bn2, tnet.bn3, tnet.bn4]
+    for i, (conv, bn) in enumerate(zip(convs, bns)):
+        cname = f"Conv_{i}"
+        bname = f"BatchNorm_{i}"
+        p[cname]["kernel"] = jnp.asarray(
+            conv.weight.detach().numpy().transpose(2, 1, 0))
+        p[cname]["bias"] = jnp.asarray(conv.bias.detach().numpy())
+        p[bname]["scale"] = jnp.asarray(bn.weight.detach().numpy())
+        p[bname]["bias"] = jnp.asarray(bn.bias.detach().numpy())
+        bs[bname]["mean"] = jnp.asarray(bn.running_mean.numpy())
+        bs[bname]["var"] = jnp.asarray(bn.running_var.numpy())
+    p["Dense_0"]["kernel"] = jnp.asarray(tnet.fc1.weight.detach().numpy().T)
+    p["Dense_0"]["bias"] = jnp.asarray(tnet.fc1.bias.detach().numpy())
+
+    got = np.asarray(model.apply(variables, jnp.asarray(x_np)))
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x_np)).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)

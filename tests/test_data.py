@@ -109,12 +109,16 @@ def test_sc09_dataset_and_caps(sc09_dir):
 
 
 def test_speech_commands_unknown_mapping(sc09_dir):
-    ds = SpeechCommandsDataset(sc09_dir, silence_percentage=0.1)
+    ds = SpeechCommandsDataset(sc09_dir, silence_percentage=0.1,
+                               add_silence=True)
     # digit folders are not in the 12-class list -> mapped to 'unknown'(=11)
     targets = {t for _, t in ds.data if _}
     assert targets == {11}
     n_silence = sum(1 for p, _ in ds.data if p == "")
     assert n_silence == 3  # 10% of 30
+    # reference default: no silence injection (it ships commented out)
+    ds2 = SpeechCommandsDataset(sc09_dir)
+    assert all(p != "" for p, _ in ds2.data)
 
 
 def test_background_noise_dataset(sc09_dir):
