@@ -67,6 +67,15 @@ class DilatedConvMM(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+def _maybe_wn(layer: nn.Module, enable: bool) -> nn.Module:
+    """Torch-style weight normalization (per-out-channel, reference trains
+    every Conv this way, ``WaveNet.py:28,67,72``). Fuse for inference with
+    :func:`fuse_weight_norm_params`."""
+    if not enable:
+        return layer
+    return nn.WeightNorm(layer, name=f"{layer.name}_wn")
+
+
 class ResidualBlock(nn.Module):
     """Gated dilated-conv residual block (reference ``WaveNet.py:53-97``)."""
 
@@ -75,6 +84,7 @@ class ResidualBlock(nn.Module):
     dilation: int
     dtype: Any = jnp.float32
     conv_impl: str = "xla"  # {'xla', 'matmul'}
+    weight_norm: bool = False
 
     @nn.compact
     def __call__(self, x, t_embed):
@@ -87,23 +97,23 @@ class ResidualBlock(nn.Module):
             h = DilatedConvMM(2 * self.res_channels, self.dilation,
                               self.dtype, name="dilated_conv")(h)
         else:
-            h = nn.Conv(
+            h = _maybe_wn(nn.Conv(
                 features=2 * self.res_channels,
                 kernel_size=(3,),
                 kernel_dilation=(self.dilation,),
                 padding="SAME",
                 name="dilated_conv",
                 dtype=self.dtype,
-            )(h)
+            ), self.weight_norm)(h)
 
         gate = jnp.tanh(h[..., : self.res_channels]) * nn.sigmoid(
             h[..., self.res_channels:]
         )
 
-        res = nn.Conv(self.res_channels, (1,), name="res_conv",
-                      dtype=self.dtype)(gate)
-        skip = nn.Conv(self.skip_channels, (1,), name="skip_conv",
-                       dtype=self.dtype)(gate)
+        res = _maybe_wn(nn.Conv(self.res_channels, (1,), name="res_conv",
+                                dtype=self.dtype), self.weight_norm)(gate)
+        skip = _maybe_wn(nn.Conv(self.skip_channels, (1,), name="skip_conv",
+                                 dtype=self.dtype), self.weight_norm)(gate)
         return (x + res) * math.sqrt(0.5), skip
 
 
@@ -126,6 +136,7 @@ class WaveNet(nn.Module):
     diffusion_step_embed_dim_out: int = 512
     dtype: Any = jnp.float32
     conv_impl: str = "xla"  # {'xla', 'matmul'} — same params either way
+    weight_norm: bool = False  # torch-style WN for training parity
 
     @nn.compact
     def __call__(self, audio: jnp.ndarray,
@@ -142,8 +153,8 @@ class WaveNet(nn.Module):
                              name="fc_t2", dtype=self.dtype)(emb))
 
         # init conv1x1 + relu
-        h = nn.Conv(self.res_channels, (1,), name="init_conv",
-                    dtype=self.dtype)(x)
+        h = _maybe_wn(nn.Conv(self.res_channels, (1,), name="init_conv",
+                              dtype=self.dtype), self.weight_norm)(x)
         h = nn.relu(h)
 
         skip_sum = 0.0
@@ -155,13 +166,16 @@ class WaveNet(nn.Module):
                 name=f"res_block_{n}",
                 dtype=self.dtype,
                 conv_impl=self.conv_impl,
+                weight_norm=self.weight_norm,
             )(h, emb)
             skip_sum = skip_sum + skip
         h = skip_sum * math.sqrt(1.0 / self.num_res_layers)
 
-        # final conv1x1 -> relu -> zero-init conv1x1
-        h = nn.relu(nn.Conv(self.skip_channels, (1,), name="final_conv1",
-                            dtype=self.dtype)(h))
+        # final conv1x1 -> relu -> zero-init conv1x1 (ZeroConv is not
+        # weight-normalized in the reference)
+        h = nn.relu(_maybe_wn(
+            nn.Conv(self.skip_channels, (1,), name="final_conv1",
+                    dtype=self.dtype), self.weight_norm)(h))
         h = nn.Conv(self.out_channels, (1,), name="final_conv2",
                     kernel_init=nn.initializers.zeros,
                     bias_init=nn.initializers.zeros, dtype=self.dtype)(h)
@@ -182,3 +196,35 @@ def make_wavenet(cfg) -> WaveNet:
         diffusion_step_embed_dim_mid=cfg.diffusion_step_embed_dim_mid,
         diffusion_step_embed_dim_out=cfg.diffusion_step_embed_dim_out,
     )
+
+
+def fuse_weight_norm_params(params):
+    """Fold ``nn.WeightNorm`` scales into the wrapped conv kernels so a
+    weight-norm-trained tree loads into the plain (inference/pallas) model.
+
+    Equivalent to the torch export convention fused by
+    ``utils/torch_convert.fuse_weight_norm``.
+    """
+    import jax.numpy as jnp
+
+    def fuse(tree):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        wn_keys = [k for k in tree if k.endswith("_wn")]
+        for k, v in tree.items():
+            if k.endswith("_wn"):
+                continue
+            out[k] = fuse(v)
+        for wk in wn_keys:
+            for scale_path, scale in tree[wk].items():
+                layer = scale_path.split("/")[0]
+                kernel = out[layer]["kernel"]
+                axes = tuple(range(kernel.ndim - 1))
+                norm = jnp.sqrt((kernel ** 2).sum(axis=axes, keepdims=True))
+                out[layer] = dict(out[layer])
+                out[layer]["kernel"] = scale * kernel / norm
+        return out
+
+    return {"params": fuse(params["params"]), **{
+        k: v for k, v in params.items() if k != "params"}}

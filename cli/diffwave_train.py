@@ -32,6 +32,10 @@ def main(argv=None):
     parser.add_argument("--n_iters", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--output_directory", default=None)
+    parser.add_argument("--weight_norm", action="store_true",
+                        help="torch-style weight normalization on the "
+                             "convs (the reference's training "
+                             "parametrization, WaveNet.py:28)")
     parser.add_argument("--dp", type=int, default=-1)
     parser.add_argument("--tp", type=int, default=1)
     parser.add_argument("--seed", type=int, default=0)
@@ -84,6 +88,9 @@ def main(argv=None):
                             seed=args.seed)
 
     net = make_wavenet(cfg.wavenet)
+    if args.weight_norm:
+        import dataclasses
+        net = dataclasses.replace(net, weight_norm=True)
     key = jax.random.PRNGKey(args.seed)
     x0 = jnp.zeros((1, 1, seg))
     params = net.init(key, x0, jnp.zeros((1, 1)))
