@@ -102,3 +102,47 @@ def test_dp_tp_train_step_runs_and_matches_replicated():
     some_kernel = state2.params["params"]["res_block_0"]["dilated_conv"][
         "kernel"]
     assert len(some_kernel.sharding.device_set) >= 2
+
+
+def test_sequence_parallel_wavenet_matches_unsharded():
+    """Waveform sharded over 4 'sp' devices with halo-exchange dilated
+    convs == the single-device forward (same flax params)."""
+    from jax.sharding import Mesh
+
+    from audiopure_tpu.parallel.sequence import wavenet_forward_sp
+
+    net = WaveNet(res_channels=16, skip_channels=16, num_res_layers=6,
+                  dilation_cycle=6, diffusion_step_embed_dim_in=16,
+                  diffusion_step_embed_dim_mid=32,
+                  diffusion_step_embed_dim_out=32)
+    # L=1024 over sp=4 -> L_loc=256; max dilation 2^5=32 <= 256
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 1024)) * 0.3
+    t = jnp.ones((2, 1))
+    params = net.init(jax.random.PRNGKey(1), x, t)
+    want = np.asarray(net.apply(params, x, t))
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+    got = np.asarray(jax.jit(
+        lambda p, xx, tt: wavenet_forward_sp(
+            p, xx, tt, mesh, num_res_layers=6, dilation_cycle=6,
+            embed_dim_in=16))(params, x, t))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_sequence_parallel_dilation_guard():
+    from jax.sharding import Mesh
+
+    from audiopure_tpu.parallel.sequence import wavenet_forward_sp
+
+    net = WaveNet(res_channels=8, skip_channels=8, num_res_layers=8,
+                  dilation_cycle=8, diffusion_step_embed_dim_in=16,
+                  diffusion_step_embed_dim_mid=32,
+                  diffusion_step_embed_dim_out=32)
+    x = jnp.zeros((1, 1, 256))
+    params = net.init(jax.random.PRNGKey(0), x, jnp.zeros((1, 1)))
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("sp",))
+    # L_loc = 32 < max dilation 128 -> must refuse
+    with pytest.raises(AssertionError, match="dilation"):
+        jax.jit(lambda p, xx, tt: wavenet_forward_sp(
+            p, xx, tt, mesh, num_res_layers=8, dilation_cycle=8,
+            embed_dim_in=16))(params, x, jnp.zeros((1, 1)))
