@@ -146,3 +146,31 @@ def test_sequence_parallel_dilation_guard():
         jax.jit(lambda p, xx, tt: wavenet_forward_sp(
             p, xx, tt, mesh, num_res_layers=8, dilation_cycle=8,
             embed_dim_in=16))(params, x, jnp.zeros((1, 1)))
+
+
+def test_pipeline_parallel_wavenet_matches_unsharded():
+    """GPipe-style stage pipelining over 'pp': 8 layers / 2 stages of one
+    dilation cycle each; microbatched forward == the plain forward."""
+    import flax
+    from jax.sharding import Mesh
+
+    from audiopure_tpu.parallel.pipeline import wavenet_forward_pp
+
+    net = WaveNet(res_channels=16, skip_channels=16, num_res_layers=8,
+                  dilation_cycle=4, diffusion_step_embed_dim_in=16,
+                  diffusion_step_embed_dim_mid=32,
+                  diffusion_step_embed_dim_out=32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 1, 256)) * 0.3
+    t = jnp.ones((4, 1)) * 5
+    params = flax.core.unfreeze(net.init(jax.random.PRNGKey(1), x, t))
+    params["params"]["final_conv2"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(2),
+        params["params"]["final_conv2"]["kernel"].shape) * 0.1
+    want = np.asarray(net.apply(params, x, t))
+
+    mesh = __import__("jax").sharding.Mesh(
+        np.asarray(jax.devices()[:2]), ("pp",))
+    got = np.asarray(jax.jit(lambda p, xx, tt: wavenet_forward_pp(
+        p, xx, tt, mesh, num_microbatches=2, num_res_layers=8,
+        dilation_cycle=4, embed_dim_in=16))(params, x, t))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
