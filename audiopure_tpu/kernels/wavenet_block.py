@@ -42,6 +42,15 @@ except ImportError:  # pragma: no cover
 
 SQRT_HALF = math.sqrt(0.5)
 ALIGN = 16  # sublane alignment for bf16 slice starts
+# Window+roll is required when the dilation is not sublane-aligned; for
+# aligned dilations three direct tap views measure the same speed (DMA is
+# fully overlapped), so the simpler path is used.
+ROLL_MAX_D = ALIGN - 1
+
+
+def _halo(dilation: int) -> int:
+    """Window halo: dilation rounded up to the sublane alignment."""
+    return -(-dilation // ALIGN) * ALIGN
 
 
 def _rolled_taps(window, dilation: int, tile_l: int):
@@ -50,7 +59,8 @@ def _rolled_taps(window, dilation: int, tile_l: int):
     Mosaic only rotates 32-bit data, and ``pltpu.bitcast`` packs along the
     *sublane* dim (rolling packed rows would double the shift), so sub-32-bit
     windows are value-cast to f32 for the roll and cast back — exact for
-    bf16.
+    bf16. No wraparound: row i of tap k reads window row i + k*d, and
+    i + 2d < wlen for i < tile_l.
     """
     wlen = window.shape[0]
     w = window.astype(jnp.float32) if window.dtype.itemsize < 4 else window
@@ -103,13 +113,16 @@ def fused_residual_block(
     assert L % tile_l == 0 and tile_l % ALIGN == 0, (L, tile_l)
     skip_ch = wskip.shape[-1]
     dtype = x.dtype
-    aligned = dilation % ALIGN == 0
+    # large dilations: three direct element-offset tap views (aligned);
+    # small/medium: one window read + in-register rolls (1x HBM traffic)
+    use_window = dilation <= ROLL_MAX_D
+    halo = _halo(dilation)
 
     # timestep bias applied before padding so pad rows stay exactly zero
     # (the conv sees zero padding, not bias — reference semantics); tail
-    # padding keeps the small-dilation window reads in bounds
+    # padding keeps the window reads in bounds
     xb = x + t_bias[:, None, :].astype(dtype)
-    tail = dilation if aligned else dilation + 2 * ALIGN
+    tail = dilation if not use_window else 2 * halo - dilation
     xb_pad = jnp.pad(xb, ((0, 0), (dilation, tail), (0, 0)))
 
     grid = (B, L // tile_l)
@@ -126,11 +139,11 @@ def fused_residual_block(
             lambda b, j, off=offset: (
                 b, pl.multiple_of(j * tile_l + off, ALIGN), 0))
 
-    if aligned and _Element is not None:
+    if not use_window and _Element is not None:
         tap_specs = [elem_spec(tile_l, k * dilation) for k in range(3)]
         tap_inputs = [xb_pad] * 3
     else:
-        tap_specs = [elem_spec(tile_l + 2 * ALIGN, 0)]
+        tap_specs = [elem_spec(tile_l + 2 * halo, 0)]
         tap_inputs = [xb_pad]
 
     def kernel(*refs):

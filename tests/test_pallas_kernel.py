@@ -38,7 +38,7 @@ def test_full_forward_matches_flax():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("dilation", [1, 4, 64])
+@pytest.mark.parametrize("dilation", [1, 4, 64, 120])
 def test_block_dilation_edges(dilation):
     """Edge correctness: zero padding (not bias) beyond the signal, for
     dilations smaller and larger than the tile."""
