@@ -40,6 +40,9 @@ def add_attack_args(parser):
     a.add_argument("--max_iter_2", type=int, default=0)
     a.add_argument("--eot_attack_size", type=int, default=1)
     a.add_argument("--eot_defense_size", type=int, default=1)
+    a.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler device trace of the first "
+                        "attacked batch (view in TensorBoard/XProf)")
 
 
 def build_attacker(args, model_fn):
@@ -132,7 +135,15 @@ def main(argv=None):
             success = jnp.zeros_like(y, dtype=bool)
             x_adv = x
         else:
-            x_adv, success = attacker.generate(x, y, k2)
+            if args.profile_dir and bi == 0:
+                from audiopure_tpu.utils.profiling import trace
+
+                with trace(args.profile_dir):
+                    x_adv, success = attacker.generate(x, y, k2)
+                    jax.block_until_ready(x_adv)
+                print(f"wrote device trace to {args.profile_dir}")
+            else:
+                x_adv, success = attacker.generate(x, y, k2)
             if isinstance(success, tuple):
                 success = success[0]
 

@@ -134,3 +134,44 @@ def test_test_cli_multicrop_and_csv(data_root, tmp_path):
     lines = open(csv_path).read().strip().splitlines()
     assert lines[0] == "fname,label"
     assert len(lines) == 21  # header + 20 files
+
+
+def test_kws_adaptive_attack_eval_cli(tmp_path):
+    """KWS harness on a synthetic Qualcomm tree (Kenansville attack)."""
+    from audiopure_tpu.data.datasets import QKWS_CLASSES
+    from cli.kws_adaptive_attack_eval import main
+
+    root = tmp_path / "qkws"
+    rng = np.random.RandomState(0)
+    t = np.arange(32000) / 16000.0
+    for ci, c in enumerate(QKWS_CLASSES):
+        d = root / c
+        d.mkdir(parents=True)
+        for i in range(130):  # tail-split needs >125 files
+            if i < 126:  # keep synthesis cheap: only test-split files real
+                wav = np.zeros(1000, dtype=np.float32)
+            else:
+                wav = (0.3 * np.sin(2 * np.pi * (400 + 200 * ci) * t)
+                       ).astype(np.float32)
+            write_wav(str(d / f"{i:03d}.wav"), wav, 16000)
+
+    res = main(["--data_path", str(root), "--split", "test",
+                "--batch_size", "20", "--defense", "AS",
+                "--attack", "KenansvilleFFT"])
+    assert res["total"] == 100  # 4 classes x 25 test-split files
+    for k in ("acc_orig", "acc_denoised", "acc_robust"):
+        assert 0.0 <= res[k] <= 1.0
+
+
+def test_profile_flag_writes_trace(data_root, clf_ckpt, tmp_path):
+    from cli.adaptive_attack_eval import main
+
+    prof = str(tmp_path / "trace")
+    main(["--data_path", str(data_root / "valid"), "--num_per_class", "1",
+          "--batch_size", "10", "--classifier_path", clf_ckpt,
+          "--defense", "None", "--attack", "PGD", "--max_iter_1", "1",
+          "--profile_dir", prof])
+    import glob
+    assert glob.glob(prof + "/**/*.pb", recursive=True) \
+        or glob.glob(prof + "/**/*.trace.json*", recursive=True) \
+        or os.listdir(prof)
