@@ -50,7 +50,13 @@ class DDPMPurifier:
         stop_score_grad: bool = True,
         remat: bool = True,
     ):
-        self.eps_fn = eps_fn
+        from audiopure_tpu.utils.grads import nondifferentiable
+
+        # the reference wraps its purifier forward in torch.no_grad
+        # (``diffwave_ddpm.py:41``); opaque wrapping (not just
+        # stop_gradient) lets non-differentiable kernels run under grad
+        self.eps_fn = nondifferentiable(eps_fn) if stop_score_grad \
+            else eps_fn
         self.schedule = schedule
         self.reverse_timestep = int(reverse_timestep)
         self.stop_score_grad = stop_score_grad
@@ -68,10 +74,7 @@ class DDPMPurifier:
     # -- single reverse-step coefficients ------------------------------------
     def _eps(self, x, t_scalar):
         steps = jnp.full((x.shape[0], 1), t_scalar, dtype=jnp.float32)
-        eps = self.eps_fn(x, steps)
-        if self.stop_score_grad:
-            eps = jax.lax.stop_gradient(eps)
-        return eps
+        return self.eps_fn(x, steps)  # opaque-wrapped when stop_score_grad
 
     def compute_coefficients(self, x_t, t_scalar):
         """eps, mu_theta, sigma_theta at step t (ref ``:143-164``)."""

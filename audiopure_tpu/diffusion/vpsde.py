@@ -57,7 +57,12 @@ class RevVPSDE:
         grad_mode: str = "ref",
         remat: bool = True,
     ):
-        self.eps_fn = eps_fn
+        from audiopure_tpu.utils.grads import nondifferentiable
+
+        # 'ref' gradient contract: the eps-net is opaque to autodiff
+        # (never linearized — required for kernels without JVP rules)
+        self.eps_fn = nondifferentiable(eps_fn) if grad_mode == "ref" \
+            else eps_fn
         self.N = int(N)
         self.beta_0 = float(beta_min)
         self.beta_1 = float(beta_max)
@@ -75,10 +80,7 @@ class RevVPSDE:
 
     def _score_eps(self, x: jnp.ndarray, idx) -> jnp.ndarray:
         steps = jnp.full((x.shape[0], 1), idx, dtype=jnp.float32)
-        eps = self.eps_fn(x, steps)
-        if self.grad_mode == "ref":
-            eps = jax.lax.stop_gradient(eps)
-        return eps
+        return self.eps_fn(x, steps)  # 'ref' mode wraps at construction
 
     def reverse_drift_diffusion(self, x: jnp.ndarray, idx):
         """Drift/diffusion of the reverse SDE at discrete index ``idx``.
@@ -205,8 +207,11 @@ class RevSpecDiffusion:
     ):
         self.N = int(N)
         self.t = int(t)
+        from audiopure_tpu.utils.grads import nondifferentiable
+
         self.sample_step = int(sample_step)
-        self.eps_fn = eps_fn
+        self.eps_fn = nondifferentiable(eps_fn) if grad_mode == "ref" \
+            else eps_fn
         self.beta_0 = float(beta_min)
         self.beta_1 = float(beta_max)
         self.grad_mode = grad_mode
@@ -231,8 +236,6 @@ class RevSpecDiffusion:
         disc = jnp.floor(t_cont * self.N).astype(jnp.int32)
         steps = jnp.full((x.shape[0],), disc, dtype=jnp.float32)
         eps = self.eps_fn(x, steps[:, None])
-        if self.grad_mode == "ref":
-            eps = jax.lax.stop_gradient(eps)
         # continuous alphas_cumprod(t) = exp(-0.5 (b1-b0) t^2 - b0 t)
         abar_cont = jnp.exp(-0.5 * (self.beta_1 - self.beta_0) * t_cont ** 2
                             - self.beta_0 * t_cont)
