@@ -61,6 +61,15 @@ class TrainsetConfig:
 
 
 @dataclass
+class GenConfig:
+    """Sampling outputs (reference ``configs/config.json:33-37``)."""
+
+    tensorboard_directory: str = "logs/tensorboard"
+    output_directory: str = "speeches"
+    ckpt_path: str = "logs/checkpoint"
+
+
+@dataclass
 class MeshConfig:
     """TPU device-mesh layout (replaces the reference's ``dist_config`` NCCL
     block, ``configs/config.json:38-41``; see SURVEY.md §2.7)."""
@@ -120,6 +129,7 @@ class Config:
     wavenet: WaveNetConfig = field(default_factory=WaveNetConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     trainset: TrainsetConfig = field(default_factory=TrainsetConfig)
+    gen: GenConfig = field(default_factory=GenConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     purifier: PurifierConfig = field(default_factory=PurifierConfig)
     attack: AttackConfig = field(default_factory=AttackConfig)
@@ -133,6 +143,7 @@ _REF_GROUPS = {
     "wavenet_config": ("wavenet", WaveNetConfig),
     "train_config": ("train", TrainConfig),
     "trainset_config": ("trainset", TrainsetConfig),
+    "gen_config": ("gen", GenConfig),
 }
 
 

@@ -173,8 +173,6 @@ class RevDiffWave:
             return self.purify_once(x, key)
         keys = jax.random.split(key, self.sample_step)
         outs = [self.purify_once(x, k) for k in keys]
-        x0 = outs[-1]
-        del x0
         return jnp.concatenate(outs, axis=0)
 
 
