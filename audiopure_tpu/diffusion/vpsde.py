@@ -106,27 +106,31 @@ class RevVPSDE:
         g = scale * jnp.sqrt(beta_t)
         return f, g
 
-    def integrate(self, x: jnp.ndarray, t: int, key: jax.Array) -> jnp.ndarray:
+    def integrate(self, x: jnp.ndarray, t, key: jax.Array,
+                  max_t: Optional[int] = None) -> jnp.ndarray:
         """Euler–Maruyama from noise level t down to 0 — t steps of dt=1/N.
 
         Step k uses discrete index ``t-k-1`` (see module docstring).
+        ``t`` may be traced (randomized noise level) if ``max_t`` bounds it:
+        the scan runs ``max_t`` masked steps.
         """
         dt = 1.0 / self.N
+        n_steps = int(t) if max_t is None else int(max_t)
 
         def step(carry, inp):
             xk = carry
-            idx, k = inp
-            f, g = self.reverse_drift_diffusion(xk, idx)
-            z = jax.random.normal(k, xk.shape, dtype=xk.dtype)
+            k, kk = inp
+            idx = t - 1 - k
+            f, g = self.reverse_drift_diffusion(xk, jnp.maximum(idx, 0))
+            z = jax.random.normal(kk, xk.shape, dtype=xk.dtype)
             x_next = xk + f * dt + g * np.sqrt(dt) * z
-            return x_next, None
+            return jnp.where(idx >= 0, x_next, xk), None
 
         if self.remat:
             step = jax.checkpoint(step)
 
-        indices = jnp.arange(t - 1, -1, -1)
-        keys = jax.random.split(key, t)
-        x0, _ = jax.lax.scan(step, x, (indices, keys))
+        keys = jax.random.split(key, n_steps)
+        x0, _ = jax.lax.scan(step, x, (jnp.arange(n_steps), keys))
         return x0
 
 
@@ -149,21 +153,33 @@ class RevDiffWave:
         beta_T: float = 0.02,
         grad_mode: str = "ref",
         remat: bool = True,
+        rand_t: bool = False,
+        t_delta: int = 0,
     ):
         self.T = int(T)
         self.t = int(t)
         self.sample_step = int(sample_step)
+        self.rand_t = bool(rand_t)
+        self.t_delta = int(t_delta)
         self.sde = RevVPSDE(
             eps_fn, N=T, beta_min=beta_0 * T, beta_max=beta_T * T,
             grad_mode=grad_mode, remat=remat,
         )
 
     def purify_once(self, x0: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
-        k_noise, k_sde = jax.random.split(key)
-        abar = self.sde.alphas_cumprod[self.t - 1]
+        k_noise, k_sde, k_t = jax.random.split(key, 3)
+        if self.rand_t:
+            # total_noise_levels = t + randint(-t_delta, t_delta)
+            # (ref ``diffwave_sde.py:186-189``); masked fixed-bound scan
+            t_drawn = self.t + jax.random.randint(
+                k_t, (), -self.t_delta, self.t_delta)
+            max_t = self.t + self.t_delta
+        else:
+            t_drawn, max_t = self.t, None
+        abar = self.sde.alphas_cumprod[t_drawn - 1]
         e = jax.random.normal(k_noise, x0.shape, dtype=x0.dtype)
         x = jnp.sqrt(abar) * x0 + jnp.sqrt(1.0 - abar) * e
-        return self.sde.integrate(x, self.t, k_sde)
+        return self.sde.integrate(x, t_drawn, k_sde, max_t=max_t)
 
     def __call__(self, x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
         """(B, 1, L) -> (sample_step*B, 1, L), like the reference's concat

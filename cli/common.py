@@ -155,7 +155,8 @@ def build_defender(args, audio_length: int = 16000):
             defender = RevDiffWave(
                 eps_fn, T=cfg.diffusion.T, t=args.t,
                 sample_step=args.sample_step, beta_0=cfg.diffusion.beta_0,
-                beta_T=cfg.diffusion.beta_T, grad_mode=args.grad_mode)
+                beta_T=cfg.diffusion.beta_T, grad_mode=args.grad_mode,
+                rand_t=args.rand_t, t_delta=args.t_delta)
         else:
             sched = make_schedule(cfg.diffusion.T, cfg.diffusion.beta_0,
                                   cfg.diffusion.beta_T)
