@@ -40,6 +40,9 @@ def add_attack_args(parser):
     a.add_argument("--max_iter_2", type=int, default=0)
     a.add_argument("--eot_attack_size", type=int, default=1)
     a.add_argument("--eot_defense_size", type=int, default=1)
+    a.add_argument("--eot_batch_size", type=int, default=None,
+                   help="replicas per compiled chunk (the reference's "
+                        "EOT_batch_size memory knob, _EOT.py:21)")
     a.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler device trace of the first "
                         "attacked batch (view in TensorBoard/XProf)")
@@ -57,6 +60,7 @@ def build_attacker(args, model_fn):
                              else args.eps / 2),
             eot_attack_size=args.eot_attack_size,
             eot_defense_size=args.eot_defense_size,
+            eot_chunk=args.eot_batch_size,
             masker=PsychoacousticMasker() if args.max_iter_2 > 0 else None)
         print(f"attack: PGD with {args.bound_norm}_eps={args.eps} & "
               f"iter={args.max_iter_1} & "
