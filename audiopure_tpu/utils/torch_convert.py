@@ -222,3 +222,90 @@ def convert_improved_diffusion_unet(
 def convert_unet_checkpoint(path: str, **kw) -> Dict[str, Any]:
     return convert_improved_diffusion_unet(load_torch_state_dict(path),
                                            **kw)
+
+
+# ---------------------------------------------------------------------------
+# WideResNet classifier (the reference's flagship mel classifier)
+# ---------------------------------------------------------------------------
+
+def _bn_pair(sd, prefix):
+    params = {"scale": _np(sd[prefix + "weight"]),
+              "bias": _np(sd[prefix + "bias"])}
+    stats = {"mean": _np(sd[prefix + "running_mean"]),
+             "var": _np(sd[prefix + "running_var"])}
+    return params, stats
+
+
+def convert_wideresnet(sd: Dict[str, Any], depth: int = 28,
+                       widen_factor: int = 10) -> Dict[str, Any]:
+    """Reference WideResNet state dict (``wideresnet.py:16-95`` naming:
+    conv1, block{1,2,3}.layer.{i}.{bn1,conv1,bn2,conv2,convShortcut},
+    bn1, fc) -> flax variables for ``models.convnets.WideResNet``
+    (params + batch_stats). Classifier *module pickles* must first be
+    loaded with torch and reduced to ``module.state_dict()``."""
+    n = (depth - 4) // 6
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+
+    p["Conv_0"] = {"kernel": _conv2d_w(sd["conv1.weight"])}
+
+    widths_in = [16, 16 * widen_factor, 32 * widen_factor]
+    blk_idx = 0
+    for stage in range(3):
+        for i in range(n):
+            pre = f"block{stage + 1}.layer.{i}."
+            name = f"WRNBlock_{blk_idx}"
+            bp: Dict[str, Any] = {}
+            bb: Dict[str, Any] = {}
+            bp["BatchNorm_0"], bb["BatchNorm_0"] = _bn_pair(sd, pre + "bn1.")
+            bp["Conv_0"] = {"kernel": _conv2d_w(sd[pre + "conv1.weight"])}
+            bp["BatchNorm_1"], bb["BatchNorm_1"] = _bn_pair(sd, pre + "bn2.")
+            bp["Conv_1"] = {"kernel": _conv2d_w(sd[pre + "conv2.weight"])}
+            if pre + "convShortcut.weight" in sd:
+                bp["Conv_2"] = {"kernel": _conv2d_w(
+                    sd[pre + "convShortcut.weight"])}
+            p[name] = bp
+            bs[name] = bb
+            blk_idx += 1
+    del widths_in
+
+    p["BatchNorm_0"], bs["BatchNorm_0"] = _bn_pair(sd, "bn1.")
+    p["Dense_0"] = _dense(sd, "fc.")
+    return {"params": p, "batch_stats": bs}
+
+
+def convert_wideresnet_checkpoint(path: str, **kw) -> Dict[str, Any]:
+    return convert_wideresnet(load_torch_state_dict(path), **kw)
+
+
+_VGG_CFG_E = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+              512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+
+
+def convert_vgg19_bn(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference VGG19-BN state dict (torchvision naming:
+    ``features.{i}.*`` conv/bn interleaved with ReLU/MaxPool,
+    ``classifier.{0,3,6}.*``; ``vgg.py:31-89``) -> flax variables for
+    ``models.convnets.VGG(cfg_key='E', batch_norm=True)``."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    feat_idx = 0
+    layer = 0
+    for v in _VGG_CFG_E:
+        if v == "M":
+            feat_idx += 1
+            continue
+        p[f"Conv_{layer}"] = {
+            "kernel": _conv2d_w(sd[f"features.{feat_idx}.weight"]),
+            "bias": _np(sd[f"features.{feat_idx}.bias"])}
+        bn = f"features.{feat_idx + 1}."
+        p[f"BatchNorm_{layer}"], bs[f"BatchNorm_{layer}"] = _bn_pair(sd, bn)
+        feat_idx += 3  # conv, bn, relu
+        layer += 1
+    for j, ci in enumerate((0, 3, 6)):
+        p[f"Dense_{j}"] = _dense(sd, f"classifier.{ci}.")
+    return {"params": p, "batch_stats": bs}
+
+
+def convert_vgg19_bn_checkpoint(path: str) -> Dict[str, Any]:
+    return convert_vgg19_bn(load_torch_state_dict(path))
