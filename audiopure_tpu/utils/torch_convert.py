@@ -309,3 +309,41 @@ def convert_vgg19_bn(sd: Dict[str, Any]) -> Dict[str, Any]:
 
 def convert_vgg19_bn_checkpoint(path: str) -> Dict[str, Any]:
     return convert_vgg19_bn(load_torch_state_dict(path))
+
+
+def convert_resnet(sd: Dict[str, Any], layers=(2, 2, 2, 2),
+                   bottleneck: bool = False) -> Dict[str, Any]:
+    """torchvision-style ResNet state dict (the reference's
+    ``resnet.py:103-161`` naming: conv1, bn1, layer{1-4}.{i}.*, fc) ->
+    flax variables for ``models.convnets.ResNet``."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    p["Conv_0"] = {"kernel": _conv2d_w(sd["conv1.weight"])}
+    p["BatchNorm_0"], bs["BatchNorm_0"] = _bn_pair(sd, "bn1.")
+
+    blk_name = "BottleneckBlock" if bottleneck else "BasicBlock"
+    n_convs = 3 if bottleneck else 2
+    blk_idx = 0
+    for stage in range(4):
+        for i in range(layers[stage]):
+            pre = f"layer{stage + 1}.{i}."
+            name = f"{blk_name}_{blk_idx}"
+            bp: Dict[str, Any] = {}
+            bb: Dict[str, Any] = {}
+            for c in range(n_convs):
+                bp[f"Conv_{c}"] = {
+                    "kernel": _conv2d_w(sd[pre + f"conv{c + 1}.weight"])}
+                bp[f"BatchNorm_{c}"], bb[f"BatchNorm_{c}"] = _bn_pair(
+                    sd, pre + f"bn{c + 1}.")
+            if pre + "downsample.0.weight" in sd:
+                bp[f"Conv_{n_convs}"] = {
+                    "kernel": _conv2d_w(sd[pre + "downsample.0.weight"])}
+                (bp[f"BatchNorm_{n_convs}"],
+                 bb[f"BatchNorm_{n_convs}"]) = _bn_pair(
+                    sd, pre + "downsample.1.")
+            p[name] = bp
+            bs[name] = bb
+            blk_idx += 1
+
+    p["Dense_0"] = _dense(sd, "fc.")
+    return {"params": p, "batch_stats": bs}

@@ -162,3 +162,15 @@ def test_rand_t_masked_matches_static_mean():
     b = np.asarray(sde.integrate(x, jnp.asarray(t_val),
                                  jax.random.PRNGKey(3), max_t=7))
     assert abs(a.mean() - b.mean()) < 5e-3
+
+
+def test_determinism_same_key_same_output():
+    """The whole stochastic pipeline is reproducible given a key (the
+    reference relies on global torch RNG and is not)."""
+    rd = RevDiffWave(ZERO_EPS, T=50, t=3)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 64))
+    a = np.asarray(rd(x, jax.random.PRNGKey(42)))
+    b = np.asarray(rd(x, jax.random.PRNGKey(42)))
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(rd(x, jax.random.PRNGKey(43)))
+    assert not np.array_equal(a, c)

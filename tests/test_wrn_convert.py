@@ -133,3 +133,63 @@ def test_vgg19bn_conversion_matches_torch():
         want = tnet.classifier(
             tnet.features(torch.from_numpy(x)).flatten(1)).numpy()
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=1e-3)
+
+
+def test_resnet18_conversion_matches_torch():
+    from audiopure_tpu.models.convnets import BasicBlock, ResNet
+    from audiopure_tpu.utils.torch_convert import convert_resnet
+
+    class TBlock(thnn.Module):
+        def __init__(self, cin, cout, stride, down):
+            super().__init__()
+            self.conv1 = thnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = thnn.BatchNorm2d(cout)
+            self.conv2 = thnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = thnn.BatchNorm2d(cout)
+            self.downsample = thnn.Sequential(
+                thnn.Conv2d(cin, cout, 1, stride, bias=False),
+                thnn.BatchNorm2d(cout)) if down else None
+
+        def forward(self, x):
+            r = x
+            h = thF.relu(self.bn1(self.conv1(x)))
+            h = self.bn2(self.conv2(h))
+            if self.downsample is not None:
+                r = self.downsample(x)
+            return thF.relu(h + r)
+
+    class TResNet18(thnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = thnn.Conv2d(1, 64, 7, 2, 3, bias=False)
+            self.bn1 = thnn.BatchNorm2d(64)
+            cins, couts = [64, 64, 128, 256], [64, 128, 256, 512]
+            for s in range(4):
+                stride = 1 if s == 0 else 2
+                setattr(self, f"layer{s + 1}", thnn.ModuleList([
+                    TBlock(cins[s], couts[s], stride,
+                           stride != 1 or cins[s] != couts[s]),
+                    TBlock(couts[s], couts[s], 1, False)]))
+            self.fc = thnn.Linear(512, 10)
+
+        def forward(self, x):
+            h = thF.max_pool2d(thF.relu(self.bn1(self.conv1(x))), 3, 2, 1)
+            for s in range(4):
+                for b in getattr(self, f"layer{s + 1}"):
+                    h = b(h)
+            return self.fc(thF.adaptive_avg_pool2d(h, 1).flatten(1))
+
+    torch.manual_seed(0)
+    tnet = TResNet18().eval()
+    with torch.no_grad():
+        for m in tnet.modules():
+            if isinstance(m, thnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+    variables = convert_resnet(tnet.state_dict(), layers=(2, 2, 2, 2))
+    net = ResNet(BasicBlock, (2, 2, 2, 2), 10)
+    x = np.random.RandomState(0).randn(2, 1, 32, 32).astype(np.float32)
+    got = np.asarray(net.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
