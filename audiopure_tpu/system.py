@@ -64,7 +64,14 @@ class AcousticSystem:
 
     def __call__(self, x: jnp.ndarray, key=None,
                  defend: bool = True) -> jnp.ndarray:
-        """x: (B, 1, L) waveform in [-1, 1]. Returns (B, n_classes) logits."""
+        """x: (B, 1, L) waveform in [-1, 1]. Returns (B, n_classes) logits.
+
+        A defender with ``sample_step > 1`` returns ``k*B`` purified copies
+        (``diffwave_sde.py:212``); their logits are averaged back to B —
+        the reference instead feeds the enlarged batch onward, which
+        silently mis-shapes the attack bookkeeping.
+        """
+        B = x.shape[0]
         out = x
         if defend and self.defender is not None and self.defense_type == "wave":
             out = self._defend(out, key)
@@ -72,4 +79,8 @@ class AcousticSystem:
             out = self.transform(out)
         if defend and self.defender is not None and self.defense_type == "spec":
             out = self._defend(out, key)
-        return self.classifier(out)
+        logits = self.classifier(out)
+        if logits.shape[0] != B:
+            k = logits.shape[0] // B
+            logits = logits.reshape(k, B, -1).mean(axis=0)
+        return logits
