@@ -311,6 +311,53 @@ def convert_vgg19_bn_checkpoint(path: str) -> Dict[str, Any]:
     return convert_vgg19_bn(load_torch_state_dict(path))
 
 
+def convert_m5(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference M5 state dict (``M5Net.py:4-38`` naming: conv1-4, bn1-4,
+    fc1) -> flax variables for ``models.m5.M5``."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    for i in range(4):
+        p[f"Conv_{i}"] = {
+            "kernel": _conv_w(_np(sd[f"conv{i + 1}.weight"])),
+            "bias": _np(sd[f"conv{i + 1}.bias"])}
+        p[f"BatchNorm_{i}"], bs[f"BatchNorm_{i}"] = _bn_pair(
+            sd, f"bn{i + 1}.")
+    p["Dense_0"] = _dense(sd, "fc1.")
+    return {"params": p, "batch_stats": bs}
+
+
+def convert_kws(sd: Dict[str, Any], gru_layers: int = 2) -> Dict[str, Any]:
+    """Reference KWSModel state dict (``RCNN_KWS/model.py:5-91`` naming:
+    CRNN_model.sepconv.{0,1}, CRNN_model.gru.*_l{n}[_reverse],
+    attn_layer.{Wx_b,Vt}, apply_attn.U) -> flax variables for
+    ``models.rcnn_kws.KWSModel``."""
+    p: Dict[str, Any] = {}
+    p["depthwise"] = {
+        "kernel": _conv_w(_np(sd["CRNN_model.sepconv.0.weight"])),
+        "bias": _np(sd["CRNN_model.sepconv.0.bias"])}
+    p["pointwise"] = {
+        "kernel": _conv_w(_np(sd["CRNN_model.sepconv.1.weight"])),
+        "bias": _np(sd["CRNN_model.sepconv.1.bias"])}
+
+    bigru: Dict[str, Any] = {}
+    for layer in range(gru_layers):
+        for direction, name in (("", "fwd"), ("_reverse", "bwd")):
+            pre = f"CRNN_model.gru."
+            suf = f"_l{layer}{direction}"
+            bigru[f"{name}_{layer}"] = {
+                "w_ih": {
+                    "kernel": _np(sd[pre + f"weight_ih{suf}"]).T.copy(),
+                    "bias": _np(sd[pre + f"bias_ih{suf}"])},
+                "w_hh_kernel": _np(sd[pre + f"weight_hh{suf}"]).T.copy(),
+                "w_hh_bias": _np(sd[pre + f"bias_hh{suf}"]),
+            }
+    p["BiGRU_0"] = bigru
+    p["attn_w"] = _dense(sd, "attn_layer.Wx_b.")
+    p["attn_v"] = {"kernel": _np(sd["attn_layer.Vt.weight"]).T.copy()}
+    p["head"] = {"kernel": _np(sd["apply_attn.U.weight"]).T.copy()}
+    return {"params": p}
+
+
 def convert_resnet(sd: Dict[str, Any], layers=(2, 2, 2, 2),
                    bottleneck: bool = False) -> Dict[str, Any]:
     """torchvision-style ResNet state dict (the reference's
