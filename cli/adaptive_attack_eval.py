@@ -28,7 +28,7 @@ from cli.common import (add_common_args, build_system, system_model_fn)
 def add_attack_args(parser):
     a = parser.add_argument_group("attack")
     a.add_argument("--attack", type=str, default="PGD",
-                   choices=["PGD", "FAKEBOB", "KenansvilleFFT",
+                   choices=["PGD", "FAKEBOB", "Square", "KenansvilleFFT",
                             "KenansvilleSSA", "CleanOnly"])
     a.add_argument("--defense", type=str, default="None",
                    choices=["Diffusion", "DiffSpec", "AT", "AS", "MS",
@@ -76,6 +76,13 @@ def build_attacker(args, model_fn):
         print(f"attack: FAKEBOB with eps={args.eps} & confidence=0.5 & "
               f"iter=200 & samples_per_draw=200\n")
         return atk
+    if args.attack == "Square":
+        from audiopure_tpu.attacks.square import SquareAttack
+
+        print(f"attack: Square with eps={args.eps} & "
+              f"iters={max(args.max_iter_1, 100)}\n")
+        return SquareAttack(model_fn, eps=args.eps,
+                            n_iters=max(args.max_iter_1, 100))
     if args.attack.startswith("Kenansville"):
         from audiopure_tpu.attacks.kenansville import KenansvilleAttack
 

@@ -126,6 +126,11 @@ def load_diffwave_eps_fn(args):
         params = net.init(jax.random.PRNGKey(0), x0, jnp.zeros((1, 1)))
         print("WARNING: no --ddpm_path; using random-init DiffWave")
 
+    if conv_impl == "pallas" and jax.default_backend() not in ("tpu",
+                                                                "axon"):
+        print("WARNING: --conv_impl pallas needs a TPU backend; "
+              "falling back to xla")
+        conv_impl = "xla"
     if conv_impl == "pallas":
         from audiopure_tpu.kernels.wavenet_block import \
             wavenet_forward_pallas

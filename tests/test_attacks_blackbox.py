@@ -101,3 +101,28 @@ def test_fakebob_estimate_threshold_osi():
     atk2 = FAKEBOB(model_fn, task="SCR")
     assert atk2.estimate_threshold(x, jax.random.PRNGKey(0),
                                    decision_fn) is None
+
+
+def test_square_attack_flips_linear_model():
+    """Score-based random search fools the toy within the eps box."""
+    from audiopure_tpu.attacks.square import SquareAttack
+
+    x = jnp.ones((3, 1, 64)) * 0.0005
+    y = jnp.zeros(3, dtype=jnp.int32)
+    atk = SquareAttack(linear_model, eps=0.05, n_iters=200, p_init=0.3)
+    x_adv, success = atk.generate(x, y, jax.random.PRNGKey(0))
+    assert np.asarray(success).all()
+    assert float(jnp.abs(x_adv - x).max()) <= 0.05 + 1e-6
+    pred = np.argmax(np.asarray(linear_model(x_adv, None)), axis=1)
+    assert (pred == 1).all()
+
+
+def test_square_attack_impossible_eps():
+    from audiopure_tpu.attacks.square import SquareAttack
+
+    x = jnp.ones((2, 1, 64)) * 0.5
+    y = jnp.zeros(2, dtype=jnp.int32)
+    atk = SquareAttack(linear_model, eps=1e-4, n_iters=50)
+    x_adv, success = atk.generate(x, y, jax.random.PRNGKey(0))
+    assert not np.asarray(success).any()
+    assert float(jnp.abs(x_adv - x).max()) <= 1e-4 + 1e-7
