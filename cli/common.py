@@ -67,8 +67,7 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     v.add_argument("--verbose", type=int, default=0)
 
 
-def load_classifier(args, num_classes: int = 10,
-                    input_is_wave: bool = False):
+def load_classifier(args, num_classes: int = 10):
     """Build (and optionally restore) a classifier; returns
     (callable spec->logits, model_name)."""
     if args.classifier_path:
