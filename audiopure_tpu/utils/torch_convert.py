@@ -358,6 +358,50 @@ def convert_kws(sd: Dict[str, Any], gru_layers: int = 2) -> Dict[str, Any]:
     return {"params": p}
 
 
+def convert_densenet(sd: Dict[str, Any], depth: int = 100
+                     ) -> Dict[str, Any]:
+    """Reference DenseNet-BC state dict (``densenet.py:17-120`` naming:
+    conv1, dense{1-3}.{i}.{bn1,conv1,bn2,conv2}, trans{1,2}.{bn1,conv1},
+    bn, fc) -> flax variables for ``models.convnets.DenseNet``.
+
+    The flax module creates its norm/conv layers inline, so names follow
+    creation order: Conv_0 stem, then alternating BatchNorm_k / Conv_k.
+    """
+    n = (depth - 4) // 3 // 2
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    p["Conv_0"] = {"kernel": _conv2d_w(sd["conv1.weight"])}
+
+    bn_i, conv_i = 0, 1
+
+    def put_bn(prefix):
+        nonlocal bn_i
+        p[f"BatchNorm_{bn_i}"], bs[f"BatchNorm_{bn_i}"] = _bn_pair(
+            sd, prefix)
+        bn_i += 1
+
+    def put_conv(prefix):
+        nonlocal conv_i
+        p[f"Conv_{conv_i}"] = {"kernel": _conv2d_w(sd[prefix + "weight"])}
+        conv_i += 1
+
+    for b in range(3):
+        for i in range(n):
+            pre = f"dense{b + 1}.{i}."
+            put_bn(pre + "bn1.")
+            put_conv(pre + "conv1.")
+            put_bn(pre + "bn2.")
+            put_conv(pre + "conv2.")
+        if b < 2:
+            pre = f"trans{b + 1}."
+            put_bn(pre + "bn1.")
+            put_conv(pre + "conv1.")
+
+    put_bn("bn.")
+    p["Dense_0"] = _dense(sd, "fc.")
+    return {"params": p, "batch_stats": bs}
+
+
 def convert_resnet(sd: Dict[str, Any], layers=(2, 2, 2, 2),
                    bottleneck: bool = False) -> Dict[str, Any]:
     """torchvision-style ResNet state dict (the reference's

@@ -193,3 +193,79 @@ def test_resnet18_conversion_matches_torch():
     with torch.no_grad():
         want = tnet(torch.from_numpy(x)).numpy()
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_densenet_conversion_matches_torch():
+    """DenseNet-BC conversion vs a bearpaw-style torch twin (depth 10 ->
+    n=1 layer per block)."""
+    from audiopure_tpu.models.convnets import DenseNet
+    from audiopure_tpu.utils.torch_convert import convert_densenet
+
+    GROWTH, DEPTH = 12, 10  # n = (10-4)/3/2 = 1
+
+    class TDense(thnn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.bn1 = thnn.BatchNorm2d(cin)
+            self.conv1 = thnn.Conv2d(cin, 4 * GROWTH, 1, bias=False)
+            self.bn2 = thnn.BatchNorm2d(4 * GROWTH)
+            self.conv2 = thnn.Conv2d(4 * GROWTH, GROWTH, 3, padding=1,
+                                     bias=False)
+
+        def forward(self, x):
+            g = self.conv1(thF.relu(self.bn1(x)))
+            g = self.conv2(thF.relu(self.bn2(g)))
+            return torch.cat([x, g], 1)
+
+    class TTrans(thnn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.bn1 = thnn.BatchNorm2d(cin)
+            self.conv1 = thnn.Conv2d(cin, cin // 2, 1, bias=False)
+
+        def forward(self, x):
+            return thF.avg_pool2d(self.conv1(thF.relu(self.bn1(x))), 2)
+
+    class TNet(thnn.Module):
+        def __init__(self):
+            super().__init__()
+            c = 2 * GROWTH
+            self.conv1 = thnn.Conv2d(1, c, 3, padding=1, bias=False)
+            self.dense1 = thnn.ModuleList([TDense(c)]); c += GROWTH
+            self.trans1 = TTrans(c); c //= 2
+            self.dense2 = thnn.ModuleList([TDense(c)]); c += GROWTH
+            self.trans2 = TTrans(c); c //= 2
+            self.dense3 = thnn.ModuleList([TDense(c)]); c += GROWTH
+            self.bn = thnn.BatchNorm2d(c)
+            self.fc = thnn.Linear(c, 10)
+
+        def forward(self, x):
+            h = self.conv1(x)
+            for m in self.dense1:
+                h = m(h)
+            h = self.trans1(h)
+            for m in self.dense2:
+                h = m(h)
+            h = self.trans2(h)
+            for m in self.dense3:
+                h = m(h)
+            h = thF.relu(self.bn(h))
+            h = thF.adaptive_avg_pool2d(h, 1).flatten(1)
+            return self.fc(h)
+
+    torch.manual_seed(0)
+    tnet = TNet().eval()
+    with torch.no_grad():
+        for m in tnet.modules():
+            if isinstance(m, thnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+
+    variables = convert_densenet(tnet.state_dict(), depth=DEPTH)
+    net = DenseNet(depth=DEPTH, growth_rate=GROWTH, compression_rate=2,
+                   num_classes=10)
+    x = np.random.RandomState(0).randn(2, 1, 32, 32).astype(np.float32)
+    got = np.asarray(net.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
