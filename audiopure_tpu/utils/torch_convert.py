@@ -358,6 +358,78 @@ def convert_kws(sd: Dict[str, Any], gru_layers: int = 2) -> Dict[str, Any]:
     return {"params": p}
 
 
+def convert_dpn(sd: Dict[str, Any], num_blocks=(3, 4, 20, 3)
+                ) -> Dict[str, Any]:
+    """Reference DPN state dict (``dpn.py:16-100`` naming: conv1, bn1,
+    layer{1-4}.{i}.{conv1,bn1,conv2,bn2,conv3,bn3,shortcut.0,shortcut.1},
+    linear) -> flax variables for ``models.convnets.DPN``."""
+    p: Dict[str, Any] = {"Conv_0": {"kernel": _conv2d_w(sd["conv1.weight"])}}
+    bs: Dict[str, Any] = {}
+    p["BatchNorm_0"], bs["BatchNorm_0"] = _bn_pair(sd, "bn1.")
+
+    blk = 0
+    for stage in range(4):
+        for i in range(num_blocks[stage]):
+            pre = f"layer{stage + 1}.{i}."
+            name = f"DPNBottleneck_{blk}"
+            bp: Dict[str, Any] = {}
+            bb: Dict[str, Any] = {}
+            for c in range(3):
+                bp[f"Conv_{c}"] = {
+                    "kernel": _conv2d_w(sd[pre + f"conv{c + 1}.weight"])}
+                bp[f"BatchNorm_{c}"], bb[f"BatchNorm_{c}"] = _bn_pair(
+                    sd, pre + f"bn{c + 1}.")
+            if pre + "shortcut.0.weight" in sd:
+                bp["Conv_3"] = {
+                    "kernel": _conv2d_w(sd[pre + "shortcut.0.weight"])}
+                bp["BatchNorm_3"], bb["BatchNorm_3"] = _bn_pair(
+                    sd, pre + "shortcut.1.")
+            p[name] = bp
+            bs[name] = bb
+            blk += 1
+    p["Dense_0"] = _dense(sd, "linear.")
+    return {"params": p, "batch_stats": bs}
+
+
+def convert_resnext(sd: Dict[str, Any], depth: int = 29) -> Dict[str, Any]:
+    """Reference CifarResNeXt state dict (``resnext.py:23-120`` naming:
+    conv_1_3x3, bn_1, stage_{s}.stage_{s}_bottleneck_{i}.{conv_reduce,
+    bn_reduce,conv_conv,bn,conv_expand,bn_expand,
+    shortcut.shortcut_conv,shortcut.shortcut_bn}, classifier) -> flax
+    variables for ``models.convnets.CifarResNeXt``."""
+    block_depth = (depth - 2) // 9
+    p: Dict[str, Any] = {
+        "Conv_0": {"kernel": _conv2d_w(sd["conv_1_3x3.weight"])}}
+    bs: Dict[str, Any] = {}
+    p["BatchNorm_0"], bs["BatchNorm_0"] = _bn_pair(sd, "bn_1.")
+
+    blk = 0
+    for s in range(1, 4):
+        for i in range(block_depth):
+            pre = f"stage_{s}.stage_{s}_bottleneck_{i}."
+            name = f"ResNeXtBottleneck_{blk}"
+            bp: Dict[str, Any] = {}
+            bb: Dict[str, Any] = {}
+            for c, (cv, bn) in enumerate(
+                    (("conv_reduce.", "bn_reduce."),
+                     ("conv_conv.", "bn."),
+                     ("conv_expand.", "bn_expand."))):
+                bp[f"Conv_{c}"] = {
+                    "kernel": _conv2d_w(sd[pre + cv + "weight"])}
+                bp[f"BatchNorm_{c}"], bb[f"BatchNorm_{c}"] = _bn_pair(
+                    sd, pre + bn)
+            if pre + "shortcut.shortcut_conv.weight" in sd:
+                bp["Conv_3"] = {"kernel": _conv2d_w(
+                    sd[pre + "shortcut.shortcut_conv.weight"])}
+                bp["BatchNorm_3"], bb["BatchNorm_3"] = _bn_pair(
+                    sd, pre + "shortcut.shortcut_bn.")
+            p[name] = bp
+            bs[name] = bb
+            blk += 1
+    p["Dense_0"] = _dense(sd, "classifier.")
+    return {"params": p, "batch_stats": bs}
+
+
 def convert_densenet(sd: Dict[str, Any], depth: int = 100
                      ) -> Dict[str, Any]:
     """Reference DenseNet-BC state dict (``densenet.py:17-120`` naming:
