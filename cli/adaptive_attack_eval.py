@@ -28,8 +28,9 @@ from cli.common import (add_common_args, build_system, system_model_fn)
 def add_attack_args(parser):
     a = parser.add_argument_group("attack")
     a.add_argument("--attack", type=str, default="PGD",
-                   choices=["PGD", "FAKEBOB", "Square", "KenansvilleFFT",
-                            "KenansvilleSSA", "CleanOnly"])
+                   choices=["PGD", "FAKEBOB", "Square", "SPSA",
+                            "KenansvilleFFT", "KenansvilleSSA",
+                            "CleanOnly"])
     a.add_argument("--defense", type=str, default="None",
                    choices=["Diffusion", "DiffSpec", "AT", "AS", "MS",
                             "QT", "BDR", "DS", "LPF", "BPF", "None"])
@@ -83,6 +84,13 @@ def build_attacker(args, model_fn):
               f"iters={max(args.max_iter_1, 100)}\n")
         return SquareAttack(model_fn, eps=args.eps,
                             n_iters=max(args.max_iter_1, 100))
+    if args.attack == "SPSA":
+        from audiopure_tpu.attacks.spsa import LinfSPSA
+
+        print(f"attack: LinfSPSA with eps={args.eps} & "
+              f"iters={max(args.max_iter_1, 50)}\n")
+        return LinfSPSA(model_fn, eps=args.eps,
+                        n_iters=max(args.max_iter_1, 50))
     if args.attack.startswith("Kenansville"):
         from audiopure_tpu.attacks.kenansville import KenansvilleAttack
 

@@ -126,3 +126,17 @@ def test_square_attack_impossible_eps():
     x_adv, success = atk.generate(x, y, jax.random.PRNGKey(0))
     assert not np.asarray(success).any()
     assert float(jnp.abs(x_adv - x).max()) <= 1e-4 + 1e-7
+
+
+def test_spsa_attack_flips_linear_model():
+    from audiopure_tpu.attacks.spsa import LinfSPSA
+
+    x = jnp.ones((2, 1, 64)) * 0.0005
+    y = jnp.zeros(2, dtype=jnp.int32)
+    atk = LinfSPSA(linear_model, eps=0.05, n_iters=40, spsa_samples=16,
+                   lr=0.02)
+    x_adv, success = atk.generate(x, y, jax.random.PRNGKey(0))
+    assert np.asarray(success).all()
+    assert float(jnp.abs(x_adv - x).max()) <= 0.05 + 1e-6
+    pred = np.argmax(np.asarray(linear_model(x_adv, None)), axis=1)
+    assert (pred == 1).all()
