@@ -146,7 +146,10 @@ def main(argv=None):
                     "params": jax.device_get(state.params),
                     "opt_state": jax.device_get(state.opt_state)})
                 print(f"saved checkpoint at iteration {n_iter}")
-    return float(loss)
+    final_loss = float(loss)
+    print(f"training finished at iteration {n_iter}, "
+          f"loss {final_loss:.4f}")
+    return final_loss
 
 
 if __name__ == "__main__":
