@@ -175,3 +175,27 @@ def test_profile_flag_writes_trace(data_root, clf_ckpt, tmp_path):
     assert glob.glob(prof + "/**/*.pb", recursive=True) \
         or glob.glob(prof + "/**/*.trace.json*", recursive=True) \
         or os.listdir(prof)
+
+
+def test_prepare_dataset_split(tmp_path):
+    """Official-list split logic (ref ``split_dataset.py`` semantics)."""
+    from audiopure_tpu.data import write_wav
+    from cli.prepare_dataset import split
+
+    audio = tmp_path / "audio"
+    for cls in ("yes", "no", "_background_noise_"):
+        (audio / cls).mkdir(parents=True)
+        for i in range(4):
+            write_wav(str(audio / cls / f"{i}.wav"),
+                      np.zeros(100, dtype=np.float32), 16000)
+    (audio / "testing_list.txt").write_text("yes/0.wav\nno/1.wav\n")
+    (audio / "validation_list.txt").write_text("yes/1.wav\n")
+
+    out = tmp_path / "out"
+    split(str(audio), str(out))
+    assert sorted(os.listdir(out / "test" / "yes")) == ["0.wav"]
+    assert sorted(os.listdir(out / "test" / "no")) == ["1.wav"]
+    assert sorted(os.listdir(out / "valid" / "yes")) == ["1.wav"]
+    assert sorted(os.listdir(out / "train" / "yes")) == ["2.wav", "3.wav"]
+    # background noise always goes to train
+    assert len(os.listdir(out / "train" / "_background_noise_")) == 4
