@@ -2,7 +2,8 @@
 
 Rebuild of the 495-LoC OpenAI ``improved_diffusion/logger.py`` role
 (SURVEY.md §5 observability): a KV store with mean aggregation
-(``logkv_mean``), Human / JSON-lines / CSV output formats selected by env
+(``logkv_mean``), Human / JSON-lines / CSV / TensorBoard output formats
+selected by env
 or argument, ``log_loss_dict`` per-quartile diffusion loss logging, and a
 ``profile_kv`` timing context. Configured via ``AUDIOPURE_LOGDIR`` (the
 reference uses ``OPENAI_LOGDIR``, also honored).
@@ -93,6 +94,28 @@ class CSVOutputFormat:
             writer.writerow({k: kvs.get(k, "") for k in self.keys})
 
 
+class TensorBoardOutputFormat:
+    """Scalar event files (ref ``logger.py`` TensorBoardOutputFormat).
+
+    Uses ``torch.utils.tensorboard`` (present in this image). Step is taken
+    from the ``step`` key when logged, else an internal dump counter.
+    """
+
+    def __init__(self, ev_dir):
+        from torch.utils.tensorboard import SummaryWriter
+
+        self.writer = SummaryWriter(log_dir=ev_dir)
+        self._step = 0
+
+    def writekvs(self, kvs):
+        step = int(kvs.get("step", self._step))
+        for k, v in kvs.items():
+            if hasattr(v, "__float__"):
+                self.writer.add_scalar(k, float(v), step)
+        self.writer.flush()
+        self._step += 1
+
+
 def make_output_format(fmt: str, ev_dir: str, log_suffix: str = ""):
     os.makedirs(ev_dir, exist_ok=True)
     if fmt == "stdout":
@@ -106,6 +129,9 @@ def make_output_format(fmt: str, ev_dir: str, log_suffix: str = ""):
     if fmt == "csv":
         return CSVOutputFormat(
             os.path.join(ev_dir, f"progress{log_suffix}.csv"))
+    if fmt == "tensorboard":
+        return TensorBoardOutputFormat(
+            os.path.join(ev_dir, f"tb{log_suffix}"))
     raise ValueError(f"Unknown format: {fmt}")
 
 

@@ -36,6 +36,17 @@ def test_logkv_mean_and_formats(tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "log.txt"))
 
 
+def test_tensorboard_format(tmp_path):
+    lg = logger.configure(str(tmp_path), ["tensorboard"])
+    lg.logkv("step", 3)
+    lg.logkv("loss", 0.5)
+    lg.dumpkvs()
+    tb_dir = os.path.join(str(tmp_path), "tb")
+    events = [f for f in os.listdir(tb_dir) if "tfevents" in f]
+    assert events and os.path.getsize(
+        os.path.join(tb_dir, events[0])) > 0
+
+
 def test_profile_kv(tmp_path):
     lg = logger.configure(str(tmp_path), ["csv"])
     with logger.profile_kv("purify"):
