@@ -124,6 +124,71 @@ class DataLoader:
             yield batch
 
 
+class BucketedDataLoader:
+    """Variable-length batching via a small set of static-shape buckets.
+
+    The reference handles variable-length KWS audio by mutating the
+    purifier's ``audio_shape`` per batch (``kws_adaptive_attack_eval.py:178``)
+    — a new graph per distinct length. On TPU every distinct shape is a
+    separate XLA compile, so this loader instead rounds each utterance up
+    to the smallest of ``n_buckets`` static lengths (zero-padded, true
+    length reported in ``batch["length"]``): the whole eval compiles at
+    most ``n_buckets`` programs regardless of how many lengths the data
+    contains.
+
+    Bucket edges are length quantiles rounded up to ``align`` samples
+    (lane-friendly). Items in one batch always share one bucket.
+    """
+
+    def __init__(self, dataset, batch_size: int = 32,
+                 lengths: Optional[np.ndarray] = None, n_buckets: int = 4,
+                 align: int = 128, shuffle: bool = False, seed: int = 0,
+                 sample_key: str = "samples"):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.sample_key = sample_key
+        if lengths is None:
+            lengths = np.asarray(
+                [len(dataset[i][sample_key]) for i in range(len(dataset))])
+        self.lengths = np.asarray(lengths)
+
+        qs = np.quantile(self.lengths, np.linspace(0, 1, n_buckets + 1)[1:])
+        edges = np.unique((np.ceil(qs / align) * align).astype(int))
+        self.buckets = edges  # ascending static lengths; last covers max
+        self.bucket_of = np.searchsorted(edges, self.lengths)
+        self.bucket_of = np.minimum(self.bucket_of, len(edges) - 1)
+
+    def __len__(self):
+        return int(sum(-(-int((self.bucket_of == b).sum()) // self.batch_size)
+                       for b in range(len(self.buckets))))
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = []
+        for b, blen in enumerate(self.buckets):
+            idx = np.nonzero(self.bucket_of == b)[0]
+            if self.shuffle:
+                idx = self.rng.permutation(idx)
+            for s in range(0, len(idx), self.batch_size):
+                batches.append((int(blen), idx[s: s + self.batch_size]))
+        if self.shuffle:
+            order = self.rng.permutation(len(batches))
+            batches = [batches[i] for i in order]
+        for blen, sel in batches:
+            items = []
+            for i in sel:
+                it = dict(self.dataset[int(i)])
+                s = np.asarray(it[self.sample_key], dtype=np.float32)
+                it["length"] = min(len(s), blen)
+                s = s[:blen]
+                if len(s) < blen:
+                    s = np.pad(s, (0, blen - len(s)))
+                it[self.sample_key] = s
+                items.append(it)
+            yield default_collate(items)
+
+
 def infinite(loader: DataLoader) -> Iterator[dict]:
     """Endless generator over a loader (ref ``load_sc09_data:96-99``)."""
     while True:

@@ -4,7 +4,8 @@ Rebuild of ``kws_adaptive_attack_eval.py:1-289``: same harness as the SC09
 eval but with the RCNN KWSModel on variable-length audio. The reference
 mutates ``defender.rev_vpsde.audio_shape`` per batch (``:178``); here the
 purifier is shape-polymorphic (jit re-specializes per bucket length) and
-the loader's random-duration collate produces the buckets.
+``--buckets N`` batches variable-length audio into N static lengths
+(``BucketedDataLoader``) so the whole eval compiles at most N programs.
 """
 
 from __future__ import annotations
@@ -25,13 +26,18 @@ def main(argv=None):
     add_attack_args(parser)
     parser.add_argument("--split", default="test",
                         choices=["train", "valid", "test"])
+    parser.add_argument(
+        "--buckets", type=int, default=0,
+        help="if >0, batch variable-length audio into this many "
+             "static-length buckets (at most that many XLA compiles) "
+             "instead of fixing every utterance to 2.0 s")
     args = parser.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
     from audiopure_tpu import AcousticSystem
-    from audiopure_tpu.data import (DataLoader,
+    from audiopure_tpu.data import (BucketedDataLoader, DataLoader,
                                     QualcommKeywordSpottingDataset)
     from audiopure_tpu.data.transforms import Compose, FixAudioLength, \
         LoadAudio
@@ -56,11 +62,18 @@ def main(argv=None):
     model_fn = system_model_fn(system)
     attacker = build_attacker(args, model_fn)
 
-    dataset = QualcommKeywordSpottingDataset(
-        args.data_path,
-        transform=Compose([LoadAudio(), FixAudioLength(time=2.0)]),
-        split=args.split)
-    loader = DataLoader(dataset, batch_size=args.batch_size)
+    if args.buckets > 0:
+        dataset = QualcommKeywordSpottingDataset(
+            args.data_path, transform=Compose([LoadAudio()]),
+            split=args.split)
+        loader = BucketedDataLoader(dataset, batch_size=args.batch_size,
+                                    n_buckets=args.buckets)
+    else:
+        dataset = QualcommKeywordSpottingDataset(
+            args.data_path,
+            transform=Compose([LoadAudio(), FixAudioLength(time=2.0)]),
+            split=args.split)
+        loader = DataLoader(dataset, batch_size=args.batch_size)
 
     predict_clean = jax.jit(lambda x: jnp.argmax(
         system(x, defend=False), -1))

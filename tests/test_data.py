@@ -211,3 +211,40 @@ def test_infinite_loader(sc09_dir):
     it = infinite(DataLoader(ds, batch_size=16, drop_last=True))
     b1, b2, b3 = next(it), next(it), next(it)  # crosses epoch boundary
     assert len(b3["target"]) == 16
+
+
+def test_bucketed_loader_static_shapes():
+    from audiopure_tpu.data.loader import BucketedDataLoader
+
+    rng = np.random.RandomState(0)
+    lengths = rng.randint(8000, 44000, size=60)
+
+    class VarDS:
+        def __len__(self):
+            return len(lengths)
+
+        def __getitem__(self, i):
+            return {"samples": np.ones(lengths[i], np.float32),
+                    "target": i % 4}
+
+    dl = BucketedDataLoader(VarDS(), batch_size=8, lengths=lengths,
+                            n_buckets=4, shuffle=True, seed=0)
+    batches = list(dl)
+    assert len(batches) == len(dl)
+
+    shapes = set()
+    seen = 0
+    for b in batches:
+        B, L = b["samples"].shape
+        shapes.add(L)
+        assert L % 128 == 0  # lane-aligned static bucket
+        for row, true_len in zip(b["samples"], b["length"]):
+            assert true_len <= L
+            assert row[:true_len].all()          # payload intact
+            assert not row[true_len:].any()      # zero padding
+        seen += B
+    assert seen == 60                            # every item exactly once
+    assert len(shapes) <= 4                      # at most n_buckets compiles
+    # buckets actually fit: every item's bucket >= its true length
+    for b in batches:
+        assert (np.asarray(b["length"]) <= b["samples"].shape[1]).all()
