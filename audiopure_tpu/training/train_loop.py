@@ -155,24 +155,54 @@ class TrainLoop:
         self.step += 1
         return float(loss)
 
-    def run_loop(self, max_steps: Optional[int] = None):
+    def run_loop(self, max_steps: Optional[int] = None,
+                 preemption_signals: Sequence[int] = None):
         """ref ``run_loop:160-189`` (+ the DIFFUSION_TRAINING_TEST escape
-        hatch via ``max_steps``)."""
+        hatch via ``max_steps``).
+
+        Preemption-aware: while the loop runs, SIGTERM (the cloud-TPU
+        preemption notice; override via ``preemption_signals``) triggers a
+        checkpoint save at the end of the in-flight step and a clean
+        return, so ``--resume_checkpoint`` continues from there. The
+        reference has no equivalent. Previous handlers are restored on
+        exit; installation is skipped off the main thread.
+        """
         import os
+        import signal
 
         env_test = os.environ.get("DIFFUSION_TRAINING_TEST", "")
-        for batch in self.data:
-            self.run_step(batch)
-            if self.step % self.log_interval == 0:
-                logger.logkv("step", self.step)
-                logger.logkv("samples", self.step * self.batch_size)
-                logger.dumpkvs()
-            if self.step % self.save_interval == 0:
-                self.save()
-                if env_test:
+        if preemption_signals is None:
+            preemption_signals = (signal.SIGTERM,)
+        self._preempted = False
+        prev_handlers = {}
+        for s in preemption_signals:
+            try:
+                prev_handlers[s] = signal.signal(
+                    s, lambda signum, frame: setattr(
+                        self, "_preempted", True))
+            except ValueError:  # not the main thread
+                break
+        try:
+            for batch in self.data:
+                self.run_step(batch)
+                if self.step % self.log_interval == 0:
+                    logger.logkv("step", self.step)
+                    logger.logkv("samples", self.step * self.batch_size)
+                    logger.dumpkvs()
+                if self.step % self.save_interval == 0:
+                    self.save()
+                    if env_test:
+                        return
+                if self._preempted:
+                    self.save()
+                    logger.log(f"preemption signal: checkpoint saved at "
+                               f"step {self.step}, exiting run_loop")
                     return
-            if max_steps is not None and self.step >= max_steps:
-                return
+                if max_steps is not None and self.step >= max_steps:
+                    return
+        finally:
+            for s, h in prev_handlers.items():
+                signal.signal(s, h)
 
     # ------------------------------------------------------------------
     def save(self, ckpt_dir: Optional[str] = None):

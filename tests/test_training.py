@@ -219,6 +219,38 @@ def test_train_loop_descends_and_saves(tmp_path):
     assert loop2.step == 12
 
 
+def test_train_loop_preemption_save(tmp_path):
+    """SIGTERM mid-loop -> checkpoint at the in-flight step + clean
+    return + handler restored."""
+    import signal
+
+    from audiopure_tpu.utils import logging as logger
+    logger.configure(str(tmp_path), ["csv"])
+
+    apply_fn, params = _tiny_unet_apply()
+    diffusion = create_gaussian_diffusion(steps=20)
+
+    def data_with_signal():
+        for i, b in enumerate(_tiny_data()):
+            if i == 3:  # preemption notice arrives mid-training
+                signal.raise_signal(signal.SIGTERM)
+            yield b
+
+    before = signal.getsignal(signal.SIGTERM)
+    loop = TrainLoop(apply_fn, params, diffusion, data_with_signal(),
+                     batch_size=8, lr=1e-3, save_interval=10**9)
+    loop.run_loop(max_steps=100)  # returns early on the signal
+    assert loop.step == 4  # finished the in-flight step, then stopped
+    assert ckpt_lib.find_max_step(str(tmp_path)) == 4
+    assert signal.getsignal(signal.SIGTERM) is before  # handler restored
+
+    # resume picks up exactly where preemption hit
+    loop2 = TrainLoop(apply_fn, params, diffusion, _tiny_data(),
+                      batch_size=8, lr=1e-3,
+                      resume_checkpoint=str(tmp_path))
+    assert loop2.step == 4
+
+
 # ---------------------------------------------------------------------------
 # classifier training
 # ---------------------------------------------------------------------------
