@@ -54,6 +54,7 @@ class TrainLoop:
         input_key: str = "spectrogram",
         preprocess: Optional[Callable] = None,
         seed: int = 0,
+        async_save: bool = False,
     ):
         self.model_apply = model_apply
         self.diffusion = diffusion
@@ -72,6 +73,7 @@ class TrainLoop:
             diffusion.num_timesteps)
         self.input_key = input_key
         self.preprocess = preprocess or (lambda x: x)
+        self.async_save = async_save
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
 
@@ -194,23 +196,27 @@ class TrainLoop:
                     if env_test:
                         return
                 if self._preempted:
-                    self.save()
+                    self.save(async_save=False)  # commit before exiting
                     logger.log(f"preemption signal: checkpoint saved at "
                                f"step {self.step}, exiting run_loop")
                     return
                 if max_steps is not None and self.step >= max_steps:
                     return
         finally:
+            ckpt_lib.wait_for_saves()
             for s, h in prev_handlers.items():
                 signal.signal(s, h)
 
     # ------------------------------------------------------------------
-    def save(self, ckpt_dir: Optional[str] = None):
+    def save(self, ckpt_dir: Optional[str] = None,
+             async_save: Optional[bool] = None):
         ckpt_dir = ckpt_dir or logger.get_dir()
         tree = {"params": self.params, "opt_state": self.opt_state}
         for rate, ema in zip(self.ema_rate, self.ema_params):
             tree[f"ema_{rate}"] = ema
-        ckpt_lib.save(ckpt_dir, self.step, tree)
+        ckpt_lib.save(ckpt_dir, self.step, tree,
+                      async_save=self.async_save if async_save is None
+                      else async_save)
 
     def _load_checkpoint(self, path: str):
         tree = {"params": self.params, "opt_state": self.opt_state}

@@ -31,12 +31,36 @@ def find_max_step(path: str) -> int:
     return best
 
 
-def save(ckpt_dir: str, step: int, tree: Dict[str, Any]) -> str:
-    """Save a pytree dict (e.g. {'params':..., 'opt_state':..., 'ema':...})."""
+_async_ckptr: Optional[ocp.AsyncCheckpointer] = None
+
+
+def save(ckpt_dir: str, step: int, tree: Dict[str, Any],
+         async_save: bool = False) -> str:
+    """Save a pytree dict (e.g. {'params':..., 'opt_state':..., 'ema':...}).
+
+    With ``async_save`` the call returns as soon as the arrays are copied
+    to host (~ms) and the serialization commits in a background thread —
+    training steps overlap the checkpoint write. Call ``wait_for_saves()``
+    (or save synchronously) before exiting the process.
+    """
     path = os.path.abspath(os.path.join(ckpt_dir, str(step)))
+    if async_save:
+        global _async_ckptr
+        if _async_ckptr is None:
+            _async_ckptr = ocp.AsyncCheckpointer(
+                ocp.PyTreeCheckpointHandler())
+        _async_ckptr.wait_until_finished()  # one write in flight at a time
+        _async_ckptr.save(path, tree, force=True)
+        return path
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, tree, force=True)
     return path
+
+
+def wait_for_saves() -> None:
+    """Block until any in-flight async checkpoint write has committed."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
 
 
 def restore(ckpt_dir: str, step: Optional[int] = None,

@@ -41,6 +41,10 @@ def main(argv=None):
     parser.add_argument("--num_res_blocks", type=int, default=3)
     parser.add_argument("--dropout", type=float, default=0.3)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--async_save", action="store_true",
+        help="commit periodic checkpoints in a background thread so "
+             "training steps overlap the write")
     args = parser.parse_args(argv)
 
     import jax
@@ -89,9 +93,9 @@ def main(argv=None):
         schedule_sampler=create_named_schedule_sampler(
             args.schedule_sampler, diffusion),
         preprocess=lambda x: melspec_standardize(jnp.asarray(x)),
-        seed=args.seed)
+        seed=args.seed, async_save=args.async_save)
     loop.run_loop(max_steps=args.max_steps)
-    loop.save()
+    loop.save(async_save=False)
     return loop.step
 
 

@@ -219,6 +219,30 @@ def test_train_loop_descends_and_saves(tmp_path):
     assert loop2.step == 12
 
 
+def test_train_loop_async_save(tmp_path):
+    """async_save commits in the background; wait_for_saves flushes, and
+    the checkpoint restores bit-exact."""
+    from audiopure_tpu.utils import logging as logger
+    logger.configure(str(tmp_path), ["csv"])
+
+    apply_fn, params = _tiny_unet_apply()
+    diffusion = create_gaussian_diffusion(steps=20)
+    loop = TrainLoop(apply_fn, params, diffusion, _tiny_data(),
+                     batch_size=8, lr=1e-3, save_interval=2,
+                     async_save=True)
+    loop.run_loop(max_steps=4)  # saves at steps 2 and 4 asynchronously
+    ckpt_lib.wait_for_saves()
+    assert ckpt_lib.find_max_step(str(tmp_path)) == 4
+
+    loop2 = TrainLoop(apply_fn, params, diffusion, _tiny_data(),
+                      batch_size=8, lr=1e-3,
+                      resume_checkpoint=str(tmp_path))
+    assert loop2.step == 4
+    for a, b in zip(jax.tree_util.tree_leaves(loop.ema_params[0]),
+                    jax.tree_util.tree_leaves(loop2.ema_params[0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_train_loop_preemption_save(tmp_path):
     """SIGTERM mid-loop -> checkpoint at the in-flight step + clean
     return + handler restored."""
