@@ -199,3 +199,52 @@ def test_prepare_dataset_split(tmp_path):
     assert sorted(os.listdir(out / "train" / "yes")) == ["2.wav", "3.wav"]
     # background noise always goes to train
     assert len(os.listdir(out / "train" / "_background_noise_")) == 4
+
+
+def test_transfer_attack_eval_cli(data_root, clf_ckpt):
+    from cli.transfer_attack_eval import main
+
+    res = main(["--data_path", str(data_root / "valid"),
+                "--num_per_class", "1", "--batch_size", "10",
+                "--classifier_path", clf_ckpt, "--defense", "AS",
+                "--attack", "PGD", "--max_iter_1", "2", "--eps", "0.02"])
+    assert res["total"] == 10
+    for k in ("steal", "acc_clean", "acc_robust"):
+        assert 0.0 <= res[k] <= 1.0
+
+
+def test_spectrogram_train_cli(data_root, tmp_path, monkeypatch):
+    from cli.spectrogram_train import main
+
+    monkeypatch.setenv("AUDIOPURE_LOGDIR", str(tmp_path))
+    monkeypatch.setenv("AUDIOPURE_LOG_FORMAT", "csv")
+    step = main(["--data_dir", str(data_root / "valid"),
+                 "--batch_size", "4", "--max_steps", "3",
+                 "--model_channels", "8", "--num_res_blocks", "1",
+                 "--diffusion_steps", "20", "--save_interval", "1000000",
+                 "--log_interval", "1", "--async_save"])
+    assert step == 3
+    from audiopure_tpu.utils import checkpoint as ckpt_lib
+    assert ckpt_lib.find_max_step(str(tmp_path)) == 3  # final sync save
+
+
+def test_train_kws_cli(tmp_path):
+    from audiopure_tpu.data.datasets import QKWS_CLASSES
+    from cli.train_kws import main
+
+    rng = np.random.RandomState(0)
+    root = tmp_path / "qkws"
+    for ci, c in enumerate(QKWS_CLASSES):
+        d = root / c
+        d.mkdir(parents=True)
+        t = np.arange(16000) / 16000.0
+        for i in range(127):  # tail split -> train 2 / valid 100 / test 25
+            tone = (0.3 * np.sin(2 * np.pi * (200 + 200 * ci) * t)
+                    + 0.01 * rng.randn(16000)).astype(np.float32)
+            write_wav(str(d / f"{i:03d}.wav"), tone, 16000)
+
+    best = main(["--data_path", str(root), "--max_epochs", "1",
+                 "--batch_size", "8", "--adv_steps", "2",
+                 "--checkpoint_dir", str(tmp_path / "ckpt")])
+    assert 0.0 <= best <= 1.0
+    assert os.path.isdir(str(tmp_path / "ckpt" / "best"))
