@@ -196,6 +196,9 @@ class TrainLoop:
                     if env_test:
                         return
                 if self._preempted:
+                    # an async periodic save may have just started on this
+                    # same step dir — let it commit before writing again
+                    ckpt_lib.wait_for_saves()
                     self.save(async_save=False)  # commit before exiting
                     logger.log(f"preemption signal: checkpoint saved at "
                                f"step {self.step}, exiting run_loop")
