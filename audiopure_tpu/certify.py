@@ -78,50 +78,51 @@ class RobustCertificate:
     @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
     def _counts(self, x, key, num_sampling: int, sigma: float,
                 t_star: int, batch_size: int = 64) -> jnp.ndarray:
-        """x: (1, 1, L); returns (num_classes,) histogram of predictions
-        over ``num_sampling`` gaussian draws."""
+        """x: (B, 1, L); returns (B, num_classes) histograms of predictions
+        over ``num_sampling`` independent gaussian draws per example.
+
+        TPU shape: each scan step runs ONE forward on a (B*chunk, 1, L)
+        batch — the draw axis rides the classifier's batch dimension (full
+        MXU tiles) instead of a per-example vmap of single forwards, and
+        the certification batch can be dp-sharded across chips.  Draws
+        beyond ``num_sampling`` (chunk padding) are masked out of the
+        histogram in the same pass — no recompute of the last chunk."""
+        B, C = x.shape[0], self.num_classes
         scale = (1.0 / (1.0 + sigma ** 2)) ** 0.5 \
             if self.denoiser is not None else 1.0
-
-        def one(k):
-            noise = jax.random.normal(k, x.shape, dtype=x.dtype) * sigma
-            x_in = (x + noise) * scale
-            logits = self.forward(x_in, t_star)
-            return jnp.argmax(logits, axis=-1)[0]
 
         # chunk draws through scan to bound memory (the reference's
         # ``batch_size`` chunking, ``certified_robust.py:38-44``)
         chunk = min(num_sampling, batch_size)
         n_chunks = -(-num_sampling // chunk)
         total = n_chunks * chunk
-        keys = jax.random.split(key, total).reshape(n_chunks, chunk, -1)
+        keys = jax.random.split(key, n_chunks)
+        offsets = jnp.arange(0, total, chunk)
 
-        def scan_body(acc, ks):
-            preds = jax.vmap(one)(ks)
-            return acc + jnp.bincount(preds, length=self.num_classes), None
+        def scan_body(acc, inp):
+            k, off = inp
+            noise = jax.random.normal(
+                k, (chunk,) + x.shape, dtype=x.dtype) * sigma
+            x_in = ((x[None] + noise) * scale).reshape(
+                (chunk * B,) + x.shape[1:])
+            logits = self.forward(x_in, t_star)      # (chunk*B, C)
+            preds = jnp.argmax(logits, -1).reshape(chunk, B)
+            valid = (off + jnp.arange(chunk)) < num_sampling  # (chunk,)
+            hist = jnp.sum(
+                jax.nn.one_hot(preds, C, dtype=jnp.int32)
+                * valid[:, None, None].astype(jnp.int32), axis=0)  # (B, C)
+            return acc + hist, None
 
         counts, _ = jax.lax.scan(
-            scan_body, jnp.zeros(self.num_classes, dtype=jnp.int32), keys)
-        # correct for padding: subtract nothing (total == num_sampling when
-        # divisible); otherwise trim via one extra masked chunk
-        if total != num_sampling:
-            extra = total - num_sampling
-            # recompute last chunk with mask
-            preds = jax.vmap(one)(keys[-1])
-            mask = jnp.arange(chunk) < (chunk - extra)
-            over = jnp.bincount(jnp.where(mask, preds, self.num_classes),
-                                length=self.num_classes + 1)[
-                                    : self.num_classes]
-            full = jnp.bincount(preds, length=self.num_classes)
-            counts = counts - full + over
+            scan_body, jnp.zeros((B, C), dtype=jnp.int32), (keys, offsets))
         return counts
 
     def smooth_predict(self, x: jnp.ndarray, key: jax.Array,
                        num_sampling: int = 100, sigma: float = 0.25,
                        batch_size: int = 64) -> np.ndarray:
-        """Histogram of the smoothed classifier's votes
-        (ref ``smooth_predict:34-67``). x: (1, 1, L)."""
-        assert x.shape[0] == 1
+        """Histograms of the smoothed classifier's votes
+        (ref ``smooth_predict:34-67``). x: (B, 1, L) -> (B, num_classes);
+        a (1, 1, L) single example returns (1, num_classes)."""
         t_star = self.compute_t_star(1.0 / (1.0 + sigma ** 2)) \
             if self.denoiser is not None else 0
         return np.asarray(self._counts(x, key, num_sampling, float(sigma),
@@ -131,21 +132,24 @@ class RobustCertificate:
     def certify(self, x: jnp.ndarray, y: jnp.ndarray, key: jax.Array,
                 sigma: float = 0.25, n_0: int = 100, n: int = 100000,
                 alpha: float = 1e-3, batch_size: int = 64) -> CertifyResult:
-        """Per-example Cohen certification (ref ``certify:70-100``):
-        n_0-draw selection, n-draw Clopper-Pearson bound, radius
-        sigma * Phi^-1(p_A)."""
+        """Cohen certification (ref ``certify:70-100``): n_0-draw
+        selection, n-draw Clopper-Pearson bound, radius sigma*Phi^-1(p_A).
+
+        Whole-batch: all B examples ride each forward together (the
+        reference certifies one example at a time, ``certify:70-100``);
+        only the cheap Beta/Phi quantiles run per-example on host."""
         B = x.shape[0]
+        k0, k1 = jax.random.split(key)
+        counts0 = self.smooth_predict(x, k0, n_0, sigma, batch_size)
+        c_A = np.argmax(counts0, axis=-1)                     # (B,)
+        counts = self.smooth_predict(x, k1, n, sigma, batch_size)
+
         preds = -np.ones(B, dtype=np.int64)
         radii = np.zeros(B, dtype=np.float64)
         for i in range(B):
-            k0, k1, key = jax.random.split(key, 3)
-            xi = x[i: i + 1]
-            counts0 = self.smooth_predict(xi, k0, n_0, sigma, batch_size)
-            c_A = int(np.argmax(counts0))
-            counts = self.smooth_predict(xi, k1, n, sigma, batch_size)
-            p_a = clopper_pearson_lower(int(counts[c_A]), n, alpha)
+            p_a = clopper_pearson_lower(int(counts[i, c_A[i]]), n, alpha)
             if p_a > 0.5:
-                preds[i] = c_A
+                preds[i] = int(c_A[i])
                 radii[i] = sigma * norm_dist.ppf(p_a)
         return CertifyResult(preds, radii)
 

@@ -115,6 +115,12 @@ class RevVPSDE:
         the scan runs ``max_t`` masked steps.
         """
         dt = 1.0 / self.N
+        if max_t is None and isinstance(t, jax.core.Tracer):
+            raise TypeError(
+                "RevVPSDE.integrate: `t` is a traced value (e.g. a "
+                "randomized noise level under jit/vmap); pass max_t=<static "
+                "upper bound> so the scan can run a fixed number of masked "
+                "steps.")
         n_steps = int(t) if max_t is None else int(max_t)
 
         def step(carry, inp):

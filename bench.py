@@ -31,6 +31,18 @@ REVERSE_T = int(os.environ.get("BENCH_T", "3"))
 ITERS = int(os.environ.get("BENCH_ITERS", "6"))
 DTYPE = os.environ.get("BENCH_DTYPE", "bf16")
 CONV = os.environ.get("BENCH_CONV", "pallas")  # {'xla', 'pallas'}
+DP = int(os.environ.get("BENCH_DP", "1"))      # data-parallel chips
+# EOT-PGD side probe (the north-star attack workload, BASELINE.json
+# configs[2]); set BENCH_EOT=0 to skip
+EOT_PROBE = os.environ.get("BENCH_EOT", "1") == "1"
+EOT_BATCH = int(os.environ.get("BENCH_EOT_BATCH", "16"))
+EOT_ITERS = int(os.environ.get("BENCH_EOT_ITERS", "10"))
+
+# Estimated torch/A100 ms per utterance-EOT-PGD-iteration: one PGD iter =
+# 1 grad step through purify+classify (~2x forward FLOPs with the ref's
+# stop-grad eps-net) = ~3.6 TFLOP/utt; at the same granted 46% TF32 MFU
+# => ~25 ms/utt-iter on A100 (see docs/BENCH.md baseline section).
+A100_REFERENCE_EOT_MS = 25.0
 
 
 def main():
@@ -70,6 +82,14 @@ def main():
 
     system = AcousticSystem(classifier, fe, defender, "wave")
 
+    # --- optional dp sharding: batch split over BENCH_DP chips ----------
+    # (the v4-8 path; on a 1-chip host BENCH_DP=1 is a no-op)
+    if DP > 1:
+        from audiopure_tpu.parallel import batch_sharding, make_mesh
+        assert BATCH % DP == 0, (BATCH, DP)
+        mesh = make_mesh(jax.devices()[:DP], dp=DP, tp=1)
+        x = jax.device_put(x, batch_sharding(mesh, ndim=3))
+
     @jax.jit
     def purify_and_classify(x, key):
         return system(x, key=key)
@@ -103,13 +123,45 @@ def main():
     out.block_until_ready()
     dt = time.perf_counter() - t0
 
-    ups = BATCH * ITERS / dt
-    print(json.dumps({
+    ups = BATCH * ITERS / dt / max(DP, 1)
+
+    record = {
         "metric": "purified utterances/sec/chip (VP-SDE t=3 + WRN-28-10)",
         "value": round(ups, 2),
         "unit": "utterances/sec/chip",
         "vs_baseline": round(ups / A100_REFERENCE_UPS, 3),
-    }))
+    }
+    if DP > 1:
+        record["dp"] = DP
+        record["total_utt_per_sec"] = round(ups * DP, 2)
+
+    # --- EOT-PGD probe: the north-star adaptive-attack workload ---------
+    if EOT_PROBE:
+        try:
+            from audiopure_tpu.attacks import AudioAttack
+
+            model_fn = lambda xx, kk: system(xx, key=kk)
+            atk = AudioAttack(model_fn, eps=0.002, norm="linf",
+                              max_iter_1=EOT_ITERS,
+                              learning_rate_1=0.002 / 5)
+            xa = x[:EOT_BATCH]
+            ya = jnp.zeros((EOT_BATCH,), dtype=jnp.int32)
+            ka = jax.random.PRNGKey(9)
+            out = atk.generate(xa, ya, ka)  # compile + warm run
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            out = atk.generate(xa, ya, jax.random.PRNGKey(10))
+            jax.block_until_ready(out)
+            dt_atk = time.perf_counter() - t0
+            ms_per_utt_iter = dt_atk * 1e3 / (EOT_BATCH * EOT_ITERS)
+            record["eot_pgd_ms_per_utt_iter"] = round(ms_per_utt_iter, 2)
+            record["eot_pgd_vs_baseline"] = round(
+                A100_REFERENCE_EOT_MS / ms_per_utt_iter, 3)
+        except Exception as e:  # pragma: no cover - keep the headline
+            print(f"EOT probe failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -22,7 +22,8 @@ import os
 
 import numpy as np
 
-from cli.common import (add_common_args, build_system, system_model_fn)
+from cli.common import (add_common_args, build_system, make_eval_sharding,
+                        pad_batch, system_model_fn)
 
 
 def add_attack_args(parser):
@@ -37,7 +38,9 @@ def add_attack_args(parser):
     a.add_argument("--bound_norm", type=str, default="linf",
                    choices=["linf", "l2"])
     a.add_argument("--eps", type=float, default=0.002)
-    a.add_argument("--max_iter_1", type=int, default=70)
+    a.add_argument("--max_iter_1", type=int, default=70,
+                   help="stage-1 iterations (PGD); also the Square/SPSA "
+                        "iteration budget")
     a.add_argument("--max_iter_2", type=int, default=0)
     a.add_argument("--eot_attack_size", type=int, default=1)
     a.add_argument("--eot_defense_size", type=int, default=1)
@@ -80,17 +83,19 @@ def build_attacker(args, model_fn):
     if args.attack == "Square":
         from audiopure_tpu.attacks.square import SquareAttack
 
+        # --max_iter_1 is respected as-is (no silent floor); the upstream
+        # SquareAttack default is 100 — pass a higher value for parity
         print(f"attack: Square with eps={args.eps} & "
-              f"iters={max(args.max_iter_1, 100)}\n")
+              f"iters={args.max_iter_1}\n")
         return SquareAttack(model_fn, eps=args.eps,
-                            n_iters=max(args.max_iter_1, 100))
+                            n_iters=args.max_iter_1)
     if args.attack == "SPSA":
         from audiopure_tpu.attacks.spsa import LinfSPSA
 
         print(f"attack: LinfSPSA with eps={args.eps} & "
-              f"iters={max(args.max_iter_1, 50)}\n")
+              f"iters={args.max_iter_1}\n")
         return LinfSPSA(model_fn, eps=args.eps,
-                        n_iters=max(args.max_iter_1, 50))
+                        n_iters=args.max_iter_1)
     if args.attack.startswith("Kenansville"):
         from audiopure_tpu.attacks.kenansville import KenansvilleAttack
 
@@ -118,6 +123,7 @@ def main(argv=None):
     system = build_system(args)
     model_fn = system_model_fn(system)
     attacker = build_attacker(args, model_fn)
+    _, x_sharding, y_sharding = make_eval_sharding(args)
 
     dataset = SC09Dataset(
         folder=args.data_path,
@@ -138,6 +144,11 @@ def main(argv=None):
     for bi, batch in enumerate(loader):
         x = jnp.asarray(batch["samples"])[:, None, :]
         y = jnp.asarray(batch["target"])
+        # pad ragged final batch: one compiled shape, --dp divisibility
+        x, y, n_valid = pad_batch(x, y, args.batch_size)
+        if x_sharding is not None:
+            x = jax.device_put(x, x_sharding)
+            y = jax.device_put(y, y_sharding)
         key, k1, k2, k3 = jax.random.split(key, 4)
 
         pred_clean = predict_clean(x)
@@ -169,7 +180,7 @@ def main(argv=None):
         if args.save_path:
             clean_path = os.path.join(args.save_path, "clean")
             adv_path = os.path.join(args.save_path, "adv")
-            for i in range(x.shape[0]):
+            for i in range(n_valid):
                 audio_id = str(total + i).zfill(3)
                 t_i = int(y[i])
                 ap_utils.audio_save(
@@ -179,10 +190,10 @@ def main(argv=None):
                     np.asarray(x_adv[i]), adv_path,
                     f"{audio_id}_{t_i}_adv.wav")
 
-        total += x.shape[0]
-        correct_orig += int((pred_clean == y).sum())
-        correct_denoised += int((pred_def == y).sum())
-        correct_adv += int(x.shape[0] - np.asarray(success).sum())
+        total += n_valid
+        correct_orig += int((pred_clean == y)[:n_valid].sum())
+        correct_denoised += int((pred_def == y)[:n_valid].sum())
+        correct_adv += int(n_valid - np.asarray(success)[:n_valid].sum())
         print(f"batch {bi}: orig clean acc {100 * correct_orig / total:.4f}%"
               f" | denoised clean acc "
               f"{100 * correct_denoised / total:.4f}%"

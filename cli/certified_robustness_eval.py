@@ -13,7 +13,8 @@ import os
 import numpy as np
 
 from cli.common import (add_common_args, load_classifier,
-                        load_diffwave_eps_fn, make_wave2spect)
+                        load_diffwave_eps_fn, make_eval_sharding,
+                        make_wave2spect, pad_batch)
 
 
 def main(argv=None):
@@ -59,12 +60,19 @@ def main(argv=None):
         num_per_class=args.num_per_class)
     loader = DataLoader(dataset, batch_size=args.batch_size)
 
+    _, x_sharding, _ = make_eval_sharding(args)
     key = jax.random.PRNGKey(args.seed)
     records = []
     correct = abstain = total = 0
     for batch in loader:
         x = jnp.asarray(batch["samples"])[:, None, :]
         y = np.asarray(batch["target"])
+        # pad ragged final batch: the certify graph (n=100k forwards)
+        # compiles once per shape, and --dp needs divisible batches
+        x, y_j, n_valid = pad_batch(x, jnp.asarray(y), args.batch_size)
+        y = np.asarray(y_j)[:n_valid]
+        if x_sharding is not None:
+            x = jax.device_put(x, x_sharding)
         key, sub = jax.random.split(key)
         res = rc.certify(x, y, sub, sigma=args.sigma, n_0=args.n0,
                          n=args.n, alpha=args.alpha,
@@ -75,8 +83,8 @@ def main(argv=None):
                 prediction=int(res.prediction[i]),
                 radius=float(res.radius[i])))
         total += len(y)
-        correct += int((res.prediction == y).sum())
-        abstain += int((res.prediction == -1).sum())
+        correct += int((res.prediction[:n_valid] == y).sum())
+        abstain += int((res.prediction[:n_valid] == -1).sum())
         print(f"certified {total}: acc {100 * correct / total:.2f}%, "
               f"abstain {100 * abstain / total:.2f}%", flush=True)
 

@@ -62,9 +62,54 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
 
     v = parser.add_argument_group("device/saving")
     v.add_argument("--batch_size", type=int, default=10)
+    v.add_argument("--dp", type=int, default=1,
+                   help="data-parallel devices for eval: shard each batch "
+                        "over a dp-device mesh (-1 = all devices). Replaces "
+                        "the reference's DistributedSampler/NCCL eval path "
+                        "(DiffWave_Unconditional/distributed_util.py:97-149)")
     v.add_argument("--seed", type=int, default=0)
     v.add_argument("--save_path", default=None)
     v.add_argument("--verbose", type=int, default=0)
+
+
+def make_eval_sharding(args):
+    """Build the --dp eval mesh: returns ``(mesh, x_sharding, y_sharding)``
+    or ``(None, None, None)`` for single-device eval.
+
+    Inputs ``device_put`` with these shardings make every downstream jit
+    (purify, classify, the whole attack loop) run batch-parallel over the
+    mesh — XLA inserts any cross-chip collectives; no code inside the
+    system/attacks changes."""
+    dp = getattr(args, "dp", 1)
+    if dp in (0, 1):
+        return None, None, None
+    from audiopure_tpu.parallel import batch_sharding, make_mesh
+
+    devices = jax.devices()
+    if dp == -1:
+        dp = len(devices)
+    if dp > len(devices):
+        raise SystemExit(f"--dp {dp} > available devices ({len(devices)})")
+    if args.batch_size % dp:
+        raise SystemExit(
+            f"--batch_size {args.batch_size} not divisible by --dp {dp}")
+    mesh = make_mesh(devices[:dp], dp=dp, tp=1)
+    print(f"eval mesh: dp={dp} over {devices[0].platform}")
+    return mesh, batch_sharding(mesh, ndim=3), batch_sharding(mesh, ndim=1)
+
+
+def pad_batch(x, y, batch_size: int):
+    """Pad a ragged final batch up to ``batch_size`` by repeating the last
+    example; returns ``(x, y, n_valid)``.  Keeps every compiled program at
+    one batch shape (no ragged-batch recompile) and keeps the batch
+    divisible by --dp; callers must slice accounting to ``n_valid``."""
+    n = int(x.shape[0])
+    if n == batch_size:
+        return x, y, n
+    reps = batch_size - n
+    x = jnp.concatenate([x, jnp.repeat(x[-1:], reps, axis=0)], axis=0)
+    y = jnp.concatenate([y, jnp.repeat(y[-1:], reps, axis=0)], axis=0)
+    return x, y, n
 
 
 def load_classifier(args, num_classes: int = 10):

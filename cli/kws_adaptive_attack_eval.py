@@ -15,7 +15,8 @@ import argparse
 import numpy as np
 
 from cli.adaptive_attack_eval import add_attack_args, build_attacker
-from cli.common import add_common_args, build_defender, system_model_fn
+from cli.common import (add_common_args, build_defender, make_eval_sharding,
+                        pad_batch, system_model_fn)
 
 
 def main(argv=None):
@@ -77,11 +78,16 @@ def main(argv=None):
 
     predict_clean = jax.jit(lambda x: jnp.argmax(
         system(x, defend=False), -1))
+    _, x_sharding, y_sharding = make_eval_sharding(args)
     key = jax.random.PRNGKey(args.seed)
     correct_orig = correct_def = correct_adv = total = 0
     for bi, batch in enumerate(loader):
         x = jnp.asarray(batch["samples"])[:, None, :]
         y = jnp.asarray(batch["target"])
+        x, y, n_valid = pad_batch(x, y, args.batch_size)
+        if x_sharding is not None:
+            x = jax.device_put(x, x_sharding)
+            y = jax.device_put(y, y_sharding)
         key, k1, k2 = jax.random.split(key, 3)
 
         pred_clean = predict_clean(x)
@@ -93,10 +99,10 @@ def main(argv=None):
             if isinstance(success, tuple):
                 success = success[0]
 
-        total += x.shape[0]
-        correct_orig += int((pred_clean == y).sum())
-        correct_def += int((pred_def == y).sum())
-        correct_adv += int(x.shape[0] - np.asarray(success).sum())
+        total += n_valid
+        correct_orig += int((pred_clean == y)[:n_valid].sum())
+        correct_def += int((pred_def == y)[:n_valid].sum())
+        correct_adv += int(n_valid - np.asarray(success)[:n_valid].sum())
         print(f"batch {bi}: clean {100 * correct_orig / total:.2f}% | "
               f"defended {100 * correct_def / total:.2f}% | robust "
               f"{100 * correct_adv / total:.2f}%", flush=True)

@@ -14,7 +14,8 @@ import numpy as np
 
 from cli.adaptive_attack_eval import add_attack_args, build_attacker
 from cli.common import (add_common_args, build_defender, load_classifier,
-                        make_wave2spect, system_model_fn)
+                        make_eval_sharding, make_wave2spect, pad_batch,
+                        system_model_fn)
 
 
 def main(argv=None):
@@ -56,11 +57,16 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     surrogate_jit = jax.jit(lambda x, k: jnp.argmax(surrogate_fn(x, k), -1))
     victim_jit = jax.jit(lambda x, k: jnp.argmax(victim_fn(x, k), -1))
+    _, x_sharding, y_sharding = make_eval_sharding(args)
 
     stolen = correct_clean = correct_robust = total = 0
     for bi, batch in enumerate(loader):
         x = jnp.asarray(batch["samples"])[:, None, :]
         y = jnp.asarray(batch["target"])
+        x, y, n_valid = pad_batch(x, y, args.batch_size)
+        if x_sharding is not None:
+            x = jax.device_put(x, x_sharding)
+            y = jax.device_put(y, y_sharding)
         key, k1, k2, k3 = jax.random.split(key, 4)
 
         pred_clean = victim_jit(x, k1)
@@ -69,10 +75,10 @@ def main(argv=None):
             success = success[0]
         pred_adv = victim_jit(x_adv, k3)
 
-        total += x.shape[0]
-        stolen += int(np.asarray(success).sum())
-        correct_clean += int((pred_clean == y).sum())
-        correct_robust += int((pred_adv == y).sum())
+        total += n_valid
+        stolen += int(np.asarray(success)[:n_valid].sum())
+        correct_clean += int((pred_clean == y)[:n_valid].sum())
+        correct_robust += int((pred_adv == y)[:n_valid].sum())
         print(f"batch {bi}: steal rate {100 * stolen / total:.2f}% | "
               f"clean acc {100 * correct_clean / total:.2f}% | transfer "
               f"robust acc {100 * correct_robust / total:.2f}%", flush=True)

@@ -69,6 +69,37 @@ def test_adaptive_attack_eval_cli(data_root, clf_ckpt, tmp_path):
     assert os.path.exists(str(tmp_path / "dumps" / "adv"))
 
 
+def test_adaptive_attack_eval_cli_dp_mesh(data_root, clf_ckpt):
+    """--dp 2 shards each eval batch over a 2-device mesh; accounting must
+    match the single-device run exactly (same PRNG keys, same data;
+    batch_size 4 over 10 examples also exercises ragged-batch padding)."""
+    from cli.adaptive_attack_eval import main
+
+    common = ["--data_path", str(data_root / "valid"),
+              "--num_per_class", "1", "--batch_size", "4",
+              "--classifier_path", clf_ckpt, "--defense", "AS",
+              "--attack", "PGD", "--max_iter_1", "2", "--eps", "0.02"]
+    res_dp1 = main(common)
+    res_dp2 = main(common + ["--dp", "2"])
+    assert res_dp2["total"] == 10
+    for k in ("total", "acc_orig", "acc_denoised", "acc_robust"):
+        assert res_dp1[k] == res_dp2[k], (k, res_dp1, res_dp2)
+
+
+def test_pad_batch():
+    import jax.numpy as jnp
+
+    from cli.common import pad_batch
+
+    x = jnp.ones((3, 1, 8))
+    y = jnp.asarray([1, 2, 3])
+    xp, yp, n = pad_batch(x, y, 5)
+    assert xp.shape == (5, 1, 8) and yp.shape == (5,) and n == 3
+    assert int(yp[3]) == int(yp[4]) == 3
+    x2, y2, n2 = pad_batch(x, y, 3)
+    assert x2 is x and y2 is y and n2 == 3
+
+
 def test_diffwave_train_and_inference_cli(data_root, tmp_path):
     from cli.diffwave_inference import main as inf_main
     from cli.diffwave_train import main as dw_main
@@ -113,6 +144,14 @@ def test_certified_eval_cli(data_root, clf_ckpt, tmp_path):
     assert len(out["records"]) == 10
     loaded = json.load(open(out_path))
     assert loaded["n"] == 32
+    # dp-sharded certification over a 2-device mesh (batch 4 over 10
+    # examples also exercises the ragged-final-batch padding)
+    out2 = main(["--data_path", str(data_root / "valid"),
+                 "--num_per_class", "1", "--classifier_path", clf_ckpt,
+                 "--batch_size", "4", "--dp", "2", "--n0", "8", "--n", "32",
+                 "--certify_batch", "16",
+                 "--output", str(tmp_path / "cert_dp.json")])
+    assert len(out2["records"]) == 10
 
 
 def test_test_cli_multicrop_and_csv(data_root, tmp_path):
