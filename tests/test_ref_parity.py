@@ -435,6 +435,53 @@ def test_gaussian_p_mean_variance_matches_reference(ref, var_type):
             want[k].numpy(), rtol=2e-4, atol=1e-5, err_msg=k)
 
 
+def test_pgd_attack_matches_reference(ref):
+    """Full deterministic stage-1 PGD (EOT=1, no defense) against the
+    reference's AudioAttack (``robustness_eval/white_box_attack.py:
+    362-470``): delta starts at zero and the loop has no randomness, so
+    the whole attack trajectory must agree — adversarial waveforms and
+    success flags."""
+    import importlib
+
+    rwb = importlib.import_module("robustness_eval.white_box_attack")
+
+    from audiopure_tpu.attacks import AudioAttack
+    from audiopure_tpu.models.m5 import M5
+    from audiopure_tpu.utils.torch_convert import convert_m5
+
+    ref_m5 = importlib.import_module("audio_models.M5.M5Net")
+    torch.manual_seed(21)
+    tnet = ref_m5.M5(n_input=1, n_output=10).eval()
+    variables = convert_m5(tnet.state_dict())
+    jnet = M5(n_output=10)
+
+    rng = np.random.RandomState(13)
+    Lw = 16000  # M5's stride-16 + 4 maxpools need the full 1 s length
+    x = (rng.randn(3, 1, Lw) * 0.2).clip(-0.9, 0.9).astype(np.float32)
+    y = np.array([1, 4, 7], dtype=np.int64)
+    eps, iters = 0.02, 5
+
+    ratk = rwb.AudioAttack(model=tnet, eps=eps, norm="linf",
+                           learning_rate_1=eps / 5, max_iter_1=iters,
+                           max_iter_2=0, eot_attack_size=1,
+                           eot_defense_size=1, verbose=0)
+    x_adv_ref, (succ_ref, _) = ratk.generate(
+        torch.from_numpy(x), torch.from_numpy(y), targeted=False)
+
+    jatk = AudioAttack(lambda xx, kk: jnet.apply(variables, xx), eps=eps,
+                       norm="linf", learning_rate_1=eps / 5,
+                       max_iter_1=iters, max_iter_2=0)
+    x_adv, succ = jatk.generate(jnp.asarray(x), jnp.asarray(y),
+                                jax.random.PRNGKey(0))
+    if isinstance(succ, tuple):
+        succ = succ[0]
+
+    assert list(np.asarray(succ)) == list(succ_ref)
+    np.testing.assert_allclose(np.asarray(x_adv),
+                               x_adv_ref.detach().numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_respacing_matches_reference(ref):
     from audiopure_tpu.diffusion.gaussian import (SpacedDiffusion,
                                                   space_timesteps)
