@@ -180,8 +180,139 @@ def fused_residual_block(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(*tap_inputs, x, wd, bd[None, :], wres, bres[None, :], wskip,
+        # residual input is xb (the *biased* x): the reference block
+        # mutates x in place when adding the timestep bias
+        # (``WaveNet.py:78-84``), so its residual at :97 adds x+bias
+    )(*tap_inputs, xb, wd, bd[None, :], wres, bres[None, :], wskip,
       bskip[None, :], skip_acc)
+    return x_next, skip
+
+
+def _dyn_taps(window, wlen: int, base_shifts, c, tile_l: int, dilation: int,
+              j, L: int, bias, dtype):
+    """Realize the three conv taps from clamped window view(s): roll each
+    view left by (base_shift + c) to undo the boundary clamp, mask rows
+    whose global source index falls outside [0, L) to exact zero (the
+    reference's zero padding), and add the timestep bias to valid rows.
+
+    window: list of 1 (small-d) or 3 (large-d) f32/bf16 views.
+    base_shifts: static per-tap extra shift (halo + k*d for the window
+    path, 0 for per-tap views).  c: traced clamp correction(s).
+    """
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_l, 1), 0)
+    taps = []
+    for k in range(3):
+        w = window[k % len(window)]
+        w32 = w.astype(jnp.float32) if w.dtype.itemsize < 4 else w
+        ck = c[k % len(c)]
+        shift = jnp.mod(jnp.int32(wlen) - (base_shifts[k] + ck),
+                        jnp.int32(wlen))
+        rolled = pltpu.roll(w32, shift, 0)[:tile_l]
+        g = j * tile_l + row + (k - 1) * dilation  # global source row
+        valid = jnp.logical_and(g >= 0, g < L)
+        taps.append(jnp.where(valid, rolled + bias.astype(jnp.float32),
+                              0.0).astype(dtype))
+    return taps
+
+
+@functools.partial(jax.jit, static_argnames=("dilation", "tile_l",
+                                             "interpret"))
+def fused_residual_block_v3(
+    x: jnp.ndarray,          # (B, L, C) current hidden state (UNbiased)
+    t_bias: jnp.ndarray,     # (B, C) per-block timestep bias (fc_t(emb))
+    wd: jnp.ndarray,         # (3, C, 2C) dilated conv kernel
+    bd: jnp.ndarray,         # (2C,)
+    wres: jnp.ndarray,       # (C, C)
+    bres: jnp.ndarray,       # (C,)
+    wskip: jnp.ndarray,      # (C, C_skip)
+    bskip: jnp.ndarray,      # (C_skip,)
+    skip_acc: jnp.ndarray,   # (B, L, C_skip) running skip sum
+    dilation: int,
+    tile_l: int = 1600,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pad-free, bias-fused residual block.
+
+    v2 (``fused_residual_block``) spends one full HBM pass per layer on
+    the host-side ``x + t_bias`` + ``jnp.pad`` producing the kernel
+    input.  Here the kernel reads the raw ``x`` directly: conv taps are
+    clamped element-offset views, boundary clamping is undone with an
+    in-register dynamic roll, out-of-range rows are masked to exact zero
+    (reference zero-padding semantics) and the timestep bias is added
+    in-register to valid rows only.  The residual input rides tap 1
+    (offset 0), so x is read once.  Residual adds the *biased* x
+    (reference in-place quirk, ``WaveNet.py:78-84``)."""
+    B, L, C = x.shape
+    assert L % tile_l == 0 and tile_l % ALIGN == 0, (L, tile_l)
+    skip_ch = wskip.shape[-1]
+    dtype = x.dtype
+    use_window = dilation <= ROLL_MAX_D
+    halo = _halo(dilation)
+    read_len = tile_l + 2 * halo if use_window else tile_l
+
+    grid = (B, L // tile_l)
+    block_l = pl.BlockSpec((1, tile_l, C), lambda b, j: (b, j, 0))
+    block_skip = pl.BlockSpec((1, tile_l, skip_ch), lambda b, j: (b, j, 0))
+    bias_spec = pl.BlockSpec((1, C), lambda b, j: (b, 0))
+    const = lambda *s: pl.BlockSpec(s, lambda b, j: tuple(  # noqa: E731
+        0 for _ in s), memory_space=pltpu.VMEM)
+
+    def clamp_start(g):
+        return jnp.minimum(jnp.maximum(g, 0), L - read_len)
+
+    def view_spec(offset):
+        # clamped element-offset view of the raw x; all operands of the
+        # clamp are ALIGN-multiples, so the start stays aligned
+        return pl.BlockSpec(
+            (_Element(1), _Element(read_len), _Element(C)),
+            lambda b, j, off=offset: (
+                b, pl.multiple_of(clamp_start(j * tile_l + off), ALIGN), 0))
+
+    if use_window:
+        view_offsets = [-halo]
+        base_shifts = [halo + k * dilation - dilation for k in range(3)]
+    else:
+        view_offsets = [(k - 1) * dilation for k in range(3)]
+        base_shifts = [0, 0, 0]
+
+    def kernel(*refs):
+        views = [r[0] for r in refs[: len(view_offsets)]]
+        (bias_ref, wd_ref, bd_ref, wres_ref, bres_ref, wskip_ref,
+         bskip_ref, acc_ref, xout_ref, skip_ref) = refs[len(view_offsets):]
+        j = pl.program_id(1)
+        # traced clamp corrections: c = desired_start - clamped_start
+        cs = [j * tile_l + off
+              - clamp_start(j * tile_l + off) for off in view_offsets]
+        taps = _dyn_taps(views, read_len, base_shifts, cs, tile_l,
+                         dilation, j, L, bias_ref[0], dtype)
+        _compute(taps, taps[1], wd_ref, bd_ref[0], wres_ref, bres_ref[0],
+                 wskip_ref, bskip_ref[0], acc_ref[0], xout_ref.at[0],
+                 skip_ref.at[0], C)
+
+    x_next, skip = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[*[view_spec(off) for off in view_offsets],
+                  bias_spec,               # t_bias row
+                  const(3, C, 2 * C),      # wd
+                  const(1, 2 * C),         # bd
+                  const(C, C),             # wres
+                  const(1, C),             # bres
+                  const(C, skip_ch),       # wskip
+                  const(1, skip_ch),       # bskip
+                  block_skip],             # skip accumulator (aliased)
+        out_specs=(block_l, block_skip),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L, C), dtype),
+            jax.ShapeDtypeStruct((B, L, skip_ch), dtype),
+        ),
+        input_output_aliases={len(view_offsets) + 7: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, *([x] * (len(view_offsets) - 1)), t_bias.astype(dtype), wd,
+      bd[None, :], wres, bres[None, :], wskip, bskip[None, :], skip_acc)
     return x_next, skip
 
 
@@ -191,6 +322,7 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
                            embed_dim_in: int = 128,
                            dtype=jnp.bfloat16,
                            tile_l: int = 1600,
+                           block_impl: str = "v3",
                            interpret: bool = False) -> jnp.ndarray:
     """Full WaveNet forward using the fused block for every residual layer.
 
@@ -214,11 +346,13 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
 
     skip_ch = p["res_block_0"]["skip_conv"]["kernel"].shape[-1]
     skip_sum = jnp.zeros((x.shape[0], x.shape[1], skip_ch), dtype=dtype)
+    block = fused_residual_block_v3 if block_impl == "v3" \
+        else fused_residual_block
     for n in range(num_res_layers):
         bp = p[f"res_block_{n}"]
         t_bias = (emb @ bp["fc_t"]["kernel"] + bp["fc_t"]["bias"]).astype(
             dtype)
-        h, skip_sum = fused_residual_block(
+        h, skip_sum = block(
             h, t_bias,
             bp["dilated_conv"]["kernel"].astype(dtype),
             bp["dilated_conv"]["bias"],

@@ -91,6 +91,10 @@ class ResidualBlock(nn.Module):
         # x: (B, L, C_res); t_embed: (B, D_out)
         part_t = nn.Dense(self.res_channels, name="fc_t",
                           dtype=self.dtype)(t_embed)
+        # NOTE: the reference's ``h = x; h += part_t`` mutates x in place
+        # (``WaveNet.py:78-84``), so its residual connection at :97 adds
+        # the *biased* x — reproduced below (caught by the reference-golden
+        # suite; the bias also rides the residual here).
         h = x + part_t[:, None, :]
 
         if self.conv_impl == "matmul":
@@ -114,7 +118,7 @@ class ResidualBlock(nn.Module):
                                 dtype=self.dtype), self.weight_norm)(gate)
         skip = _maybe_wn(nn.Conv(self.skip_channels, (1,), name="skip_conv",
                                  dtype=self.dtype), self.weight_norm)(gate)
-        return (x + res) * math.sqrt(0.5), skip
+        return (x + part_t[:, None, :] + res) * math.sqrt(0.5), skip
 
 
 class WaveNet(nn.Module):

@@ -60,7 +60,9 @@ def _stage_forward(stage_params, h, emb, dilations, res_ch):
              + xp[:, 2 * d: 2 * d + L] @ k[2]) + bp["dilated_conv"]["bias"]
         gate = jnp.tanh(y[..., :res_ch]) * jax.nn.sigmoid(y[..., res_ch:])
         res = gate @ bp["res_conv"]["kernel"][0] + bp["res_conv"]["bias"]
-        h = (h + res) * math.sqrt(0.5)
+        # reference residual uses the *biased* x (in-place quirk,
+        # ref WaveNet.py:78-97) — hb, not h
+        h = (hb + res) * math.sqrt(0.5)
         skip = skip + gate @ bp["skip_conv"]["kernel"][0] \
             + bp["skip_conv"]["bias"]
     return h, skip

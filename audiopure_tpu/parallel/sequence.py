@@ -90,7 +90,9 @@ def _wavenet_sp_local(params: Dict[str, Any], x_local: jnp.ndarray,
                                2 ** (n % dilation_cycle), axis_name)
         gate = jnp.tanh(y[..., :C]) * jax.nn.sigmoid(y[..., C:])
         res = gate @ bp["res_conv"]["kernel"][0] + bp["res_conv"]["bias"]
-        h = (h + res) * math.sqrt(0.5)
+        # reference residual uses the *biased* x (in-place quirk,
+        # ref WaveNet.py:78-97) — hb, not h
+        h = (hb + res) * math.sqrt(0.5)
         skip_sum = skip_sum + gate @ bp["skip_conv"]["kernel"][0] \
             + bp["skip_conv"]["bias"]
 

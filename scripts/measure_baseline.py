@@ -89,6 +89,13 @@ def build_pair():
         num_res_layers=36, dilation_cycle=12,
         diffusion_step_embed_dim_in=128, diffusion_step_embed_dim_mid=512,
         diffusion_step_embed_dim_out=512).eval()
+    # re-init the zero-initialized output head: otherwise the eps-net
+    # output is identically zero at random init and the parity check
+    # would not exercise the network
+    with torch.no_grad():
+        for p in tnet.parameters():
+            if p.numel() and bool((p == 0).all()):
+                p.normal_(0, 0.05)
     params = convert_diffwave(tnet.state_dict(), num_res_layers=36)
     jnet = WaveNet()  # full default config matches the above
 

@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from audiopure_tpu.kernels.wavenet_block import (fused_residual_block,
+                                                 fused_residual_block_v3,
                                                  wavenet_forward_pallas)
 from audiopure_tpu.models.wavenet import WaveNet
 
@@ -27,19 +28,21 @@ def _net_and_params(layers=4, cycle=2):
     return net, params
 
 
-def test_full_forward_matches_flax():
+@pytest.mark.parametrize("impl", ["v2", "v3"])
+def test_full_forward_matches_flax(impl):
     net, params = _net_and_params()
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 400)) * 0.3
     t = jnp.asarray([[3.0], [17.0]])
     want = np.asarray(net.apply(params, x, t))
     got = np.asarray(wavenet_forward_pallas(
         params, x, t, num_res_layers=4, dilation_cycle=2, embed_dim_in=16,
-        dtype=jnp.float32, tile_l=80, interpret=True))
+        dtype=jnp.float32, tile_l=80, block_impl=impl, interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("impl", ["v2", "v3"])
 @pytest.mark.parametrize("dilation", [1, 4, 64, 120])
-def test_block_dilation_edges(dilation):
+def test_block_dilation_edges(dilation, impl):
     """Edge correctness: zero padding (not bias) beyond the signal, for
     dilations smaller and larger than the tile."""
     C, L, TL = 8, 256, 128
@@ -55,7 +58,8 @@ def test_block_dilation_edges(dilation):
     bskip = jax.random.normal(ks[7], (C,)) * 0.1
 
     acc = jax.random.normal(jax.random.PRNGKey(99), (1, L, C)) * 0.3
-    got_x, got_s = fused_residual_block(
+    fn = fused_residual_block if impl == "v2" else fused_residual_block_v3
+    got_x, got_s = fn(
         x, tb, wd, bd, wres, bres, wskip, bskip, acc, dilation=dilation,
         tile_l=TL, interpret=True)
 
@@ -67,7 +71,8 @@ def test_block_dilation_edges(dilation):
          + xp[2 * dilation: 2 * dilation + L] @ np.asarray(wd[2])
          + np.asarray(bd))
     gate = np.tanh(h[:, :C]) / (1 + np.exp(-h[:, C:]))
-    want_x = (np.asarray(x)[0] + gate @ np.asarray(wres)
+    # residual adds the *biased* x (ref in-place quirk, WaveNet.py:78-97)
+    want_x = (xb + gate @ np.asarray(wres)
               + np.asarray(bres)) * np.sqrt(0.5)
     want_s = (gate @ np.asarray(wskip) + np.asarray(bskip)
               + np.asarray(acc)[0])
@@ -75,3 +80,40 @@ def test_block_dilation_edges(dilation):
                                rtol=1e-3)
     np.testing.assert_allclose(np.asarray(got_s)[0], want_s, atol=1e-4,
                                rtol=1e-3)
+
+
+def test_wavenet_pallas_grad_matches_xla_autodiff():
+    """wavenet_forward_pallas_grad (custom VJP: pallas fwd + recompute
+    bwd) must match jax.grad through the flax/XLA net — params, input,
+    and value."""
+    from audiopure_tpu.kernels.wavenet_block_grad import \
+        wavenet_forward_pallas_grad
+
+    net, params = _net_and_params()
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 1, 400)) * 0.3
+    t = jnp.asarray([[3.0], [17.0]])
+    w = jax.random.normal(jax.random.PRNGKey(6), (2, 1, 400))
+
+    def loss_xla(p, xx):
+        return jnp.sum(net.apply(p, xx, t) * w)
+
+    def loss_pallas(p, xx):
+        return jnp.sum(wavenet_forward_pallas_grad(
+            p, xx, t, num_res_layers=4, dilation_cycle=2, embed_dim_in=16,
+            dtype=jnp.float32, tile_l=80) * w)
+
+    (v1, gx1), gp1 = jax.value_and_grad(loss_xla, argnums=(1,))(params, x), \
+        jax.grad(loss_xla)(params, x)
+    (v2, gx2), gp2 = jax.value_and_grad(loss_pallas, argnums=(1,))(
+        params, x), jax.grad(loss_pallas)(params, x)
+
+    np.testing.assert_allclose(v2, v1, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx2[0]), np.asarray(gx1[0]),
+                               atol=1e-4, rtol=1e-3)
+    flat1 = flax.traverse_util.flatten_dict(gp1["params"])
+    flat2 = flax.traverse_util.flatten_dict(gp2["params"])
+    assert flat1.keys() == flat2.keys()
+    for k in flat1:
+        np.testing.assert_allclose(np.asarray(flat2[k]),
+                                   np.asarray(flat1[k]), atol=1e-3,
+                                   rtol=1e-3, err_msg=str(k))

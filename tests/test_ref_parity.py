@@ -97,6 +97,18 @@ B, L = 2, 512
 T_DIFF = 200
 
 
+def unzero_(tnet, std=0.05):
+    """Re-init any all-zero parameter tensor (ZeroConv1d / zero_module
+    heads).  At random init those make whole-network outputs trivially
+    zero, which would let a semantics bug pass a forward golden — every
+    golden here runs on an un-zeroed net."""
+    with torch.no_grad():
+        for p in tnet.parameters():
+            if p.numel() and bool((p == 0).all()):
+                p.normal_(0, std)
+    return tnet
+
+
 @pytest.fixture(scope="module")
 def nets(ref):
     """Fixed-seed reference WaveNet + converted flax params."""
@@ -104,12 +116,12 @@ def nets(ref):
     from audiopure_tpu.utils.torch_convert import convert_diffwave
 
     torch.manual_seed(0)
-    tnet = ref.wavenet.WaveNet_Speech_Commands(
+    tnet = unzero_(ref.wavenet.WaveNet_Speech_Commands(
         in_channels=1, res_channels=RES, skip_channels=SKIP, out_channels=1,
         num_res_layers=LAYERS, dilation_cycle=CYCLE,
         diffusion_step_embed_dim_in=EMB_IN,
         diffusion_step_embed_dim_mid=EMB_MID,
-        diffusion_step_embed_dim_out=EMB_OUT).eval()
+        diffusion_step_embed_dim_out=EMB_OUT)).eval()
     params = convert_diffwave(tnet.state_dict(), num_res_layers=LAYERS)
     jnet = WaveNet(res_channels=RES, skip_channels=SKIP,
                    num_res_layers=LAYERS, dilation_cycle=CYCLE,

@@ -155,6 +155,13 @@ def test_unet_matches_reference():
         num_res_blocks=NRB, attention_resolutions=ATT, dropout=0.0,
         channel_mult=MULT, num_heads=HEADS,
         use_scale_shift_norm=True).eval()
+    # re-init the zero_module heads: at init they zero out every residual
+    # branch and the final conv, making the forward trivially input-copying
+    # — a golden on that would not exercise the interior at all
+    with torch.no_grad():
+        for p in tnet.parameters():
+            if p.numel() and bool((p == 0).all()):
+                p.normal_(0, 0.05)
     variables = convert_improved_diffusion_unet(
         tnet.state_dict(), num_res_blocks=NRB, channel_mult=MULT,
         attention_ds=ATT)

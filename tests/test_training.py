@@ -106,10 +106,11 @@ def _build_torch_wavenet():
             h = torch.relu(self.init_conv(x))
             skip = 0
             for blk in self.residual_layer.residual_blocks:
-                hh = h + blk.fc_t(emb)[:, :, None]
-                hh = blk.dilated_conv_layer(hh)
+                hb = h + blk.fc_t(emb)[:, :, None]
+                hh = blk.dilated_conv_layer(hb)
                 gate = torch.tanh(hh[:, :RES]) * torch.sigmoid(hh[:, RES:])
-                h = (h + blk.res_conv(gate)) * math.sqrt(0.5)
+                # residual adds the *biased* x (ref in-place quirk)
+                h = (hb + blk.res_conv(gate)) * math.sqrt(0.5)
                 skip = skip + blk.skip_conv(gate)
             out = skip * math.sqrt(1.0 / LAYERS)
             return self.final_conv(out)

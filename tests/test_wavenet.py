@@ -64,10 +64,12 @@ def torch_forward(tnet, x, steps):
     skip_sum = 0.0
     for blk in tnet.blocks:
         part_t = blk["fc_t"](emb)[:, :, None]
-        hh = h + part_t
-        hh = blk["dilated"](hh)
+        hb = h + part_t
+        hh = blk["dilated"](hb)
         gate = torch.tanh(hh[:, :RES]) * torch.sigmoid(hh[:, RES:])
-        h = (h + blk["res"](gate)) * math.sqrt(0.5)
+        # reference residual adds the *biased* x (in-place quirk,
+        # ref WaveNet.py:78-97)
+        h = (hb + blk["res"](gate)) * math.sqrt(0.5)
         skip_sum = skip_sum + blk["skip"](gate)
     out = skip_sum * math.sqrt(1.0 / LAYERS)
     out = torch.relu(tnet.final1(out))
