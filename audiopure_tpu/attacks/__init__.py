@@ -11,3 +11,4 @@ from audiopure_tpu.attacks.nes import NES  # noqa: F401
 from audiopure_tpu.attacks.pgd import AudioAttack  # noqa: F401
 from audiopure_tpu.attacks.spsa import LinfSPSA  # noqa: F401
 from audiopure_tpu.attacks.square import SquareAttack  # noqa: F401
+from audiopure_tpu.attacks.siren import SirenAttack  # noqa: F401

@@ -253,7 +253,9 @@ def fused_residual_block_v3(
     grid = (B, L // tile_l)
     block_l = pl.BlockSpec((1, tile_l, C), lambda b, j: (b, j, 0))
     block_skip = pl.BlockSpec((1, tile_l, skip_ch), lambda b, j: (b, j, 0))
-    bias_spec = pl.BlockSpec((1, C), lambda b, j: (b, 0))
+    # (B, 1, C) layout: Mosaic requires the last two block dims to match
+    # the array dims or be (8k, 128k)-divisible — (1, C) of (B, C) is not
+    bias_spec = pl.BlockSpec((1, 1, C), lambda b, j: (b, 0, 0))
     const = lambda *s: pl.BlockSpec(s, lambda b, j: tuple(  # noqa: E731
         0 for _ in s), memory_space=pltpu.VMEM)
 
@@ -284,7 +286,7 @@ def fused_residual_block_v3(
         cs = [j * tile_l + off
               - clamp_start(j * tile_l + off) for off in view_offsets]
         taps = _dyn_taps(views, read_len, base_shifts, cs, tile_l,
-                         dilation, j, L, bias_ref[0], dtype)
+                         dilation, j, L, bias_ref[0, 0], dtype)
         _compute(taps, taps[1], wd_ref, bd_ref[0], wres_ref, bres_ref[0],
                  wskip_ref, bskip_ref[0], acc_ref[0], xout_ref.at[0],
                  skip_ref.at[0], C)
@@ -311,8 +313,8 @@ def fused_residual_block_v3(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(x, *([x] * (len(view_offsets) - 1)), t_bias.astype(dtype), wd,
-      bd[None, :], wres, bres[None, :], wskip, bskip[None, :], skip_acc)
+    )(x, *([x] * (len(view_offsets) - 1)), t_bias[:, None, :].astype(dtype),
+      wd, bd[None, :], wres, bres[None, :], wskip, bskip[None, :], skip_acc)
     return x_next, skip
 
 

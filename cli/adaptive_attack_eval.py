@@ -29,7 +29,7 @@ from cli.common import (add_common_args, build_system, make_eval_sharding,
 def add_attack_args(parser):
     a = parser.add_argument_group("attack")
     a.add_argument("--attack", type=str, default="PGD",
-                   choices=["PGD", "FAKEBOB", "Square", "SPSA",
+                   choices=["PGD", "FAKEBOB", "Square", "SPSA", "Siren",
                             "KenansvilleFFT", "KenansvilleSSA",
                             "CleanOnly"])
     a.add_argument("--defense", type=str, default="None",
@@ -96,6 +96,15 @@ def build_attacker(args, model_fn):
               f"iters={args.max_iter_1}\n")
         return LinfSPSA(model_fn, eps=args.eps,
                         n_iters=args.max_iter_1)
+    if args.attack == "Siren":
+        from audiopure_tpu.attacks.siren import SirenAttack
+
+        # reference defaults max_epoch=300/max_iter=30; scale the PSO
+        # budget from --max_iter_1 (epochs) like the other black-boxes
+        print(f"attack: Siren (PSO) with eps={args.eps} & "
+              f"epochs={args.max_iter_1} & iters=30 & particles=25\n")
+        return SirenAttack(model_fn, epsilon=args.eps,
+                           max_epoch=args.max_iter_1, max_iter=30)
     if args.attack.startswith("Kenansville"):
         from audiopure_tpu.attacks.kenansville import KenansvilleAttack
 

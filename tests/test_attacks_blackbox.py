@@ -140,3 +140,31 @@ def test_spsa_attack_flips_linear_model():
     assert float(jnp.abs(x_adv - x).max()) <= 0.05 + 1e-6
     pred = np.argmax(np.asarray(linear_model(x_adv, None)), axis=1)
     assert (pred == 1).all()
+
+
+def test_siren_attack_flips_linear_model():
+    """PSO should easily find the flipping perturbation on the linear toy
+    (true margin is linear in sum(delta); eps budget is sufficient)."""
+    from audiopure_tpu.attacks.siren import SirenAttack
+
+    x = jnp.ones((2, 1, 32)) * 0.0005
+    y = jnp.zeros(2, dtype=jnp.int32)
+    atk = SirenAttack(linear_model, epsilon=0.05, max_epoch=3, max_iter=10,
+                      n_particles=8)
+    x_adv, success = atk.generate(x, y, jax.random.PRNGKey(0))
+    assert bool(success.all()), success
+    # perturbation respects the distortion bounds
+    assert float(jnp.max(jnp.abs(x_adv - x))) <= 0.05 + 1e-6
+    preds = jnp.argmax(linear_model(x_adv, None), -1)
+    np.testing.assert_array_equal(np.asarray(preds), [1, 1])
+
+
+def test_siren_attack_impossible_eps():
+    from audiopure_tpu.attacks.siren import SirenAttack
+
+    x = jnp.ones((2, 1, 32)) * 0.05  # needs delta sum < -1.6, eps too small
+    y = jnp.zeros(2, dtype=jnp.int32)
+    atk = SirenAttack(linear_model, epsilon=1e-4, max_epoch=2, max_iter=5,
+                      n_particles=4)
+    _, success = atk.generate(x, y, jax.random.PRNGKey(0))
+    assert not bool(success.any())
