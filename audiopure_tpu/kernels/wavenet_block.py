@@ -17,10 +17,11 @@ Small dilations (d not sublane-aligned) read one aligned window and realize
 the +-d shifts with in-register rolls (bitcast to 32-bit first — Mosaic
 only rotates 32-bit data).
 
-Forward-only by design: the purifier's reference gradient contract
-stop-gradients the eps-net (``diffwave_ddpm.py:166``), so the flagship
-attack path never differentiates through this kernel; training and
-``grad_mode='full'`` use the XLA-conv path (same parameter tree).
+The kernels here are forward-only: the purifier's reference gradient
+contract stop-gradients the eps-net (``diffwave_ddpm.py:166``), so the
+flagship attack path never differentiates through them.  For
+``grad_mode='full'`` and training, ``wavenet_block_grad.py`` wraps the
+v3 block in a ``jax.custom_vjp`` (pallas forward, recompute backward).
 """
 
 from __future__ import annotations
@@ -188,8 +189,21 @@ def fused_residual_block(
     return x_next, skip
 
 
+def _roll_rows(w, shift, even_shift: bool):
+    """Dynamic row-roll. Mosaic only rotates 32-bit data; for bf16 with a
+    guaranteed-even shift we bitcast to i32 (packs *pairs* of sublane
+    rows) and roll by shift//2 — no f32 temporaries, which matters for
+    scoped-VMEM pressure.  Odd/unknown parity falls back to a value cast."""
+    if w.dtype.itemsize >= 4:
+        return pltpu.roll(w, shift, 0)
+    if even_shift and w.dtype == jnp.bfloat16 and w.shape[0] % 2 == 0:
+        packed = pltpu.bitcast(w, jnp.int32)
+        return pltpu.bitcast(pltpu.roll(packed, shift // 2, 0), w.dtype)
+    return pltpu.roll(w.astype(jnp.float32), shift, 0).astype(w.dtype)
+
+
 def _dyn_taps(window, wlen: int, base_shifts, c, tile_l: int, dilation: int,
-              j, L: int, bias, dtype):
+              j, L: int, bias, dtype, even_shift: bool):
     """Realize the three conv taps from clamped window view(s): roll each
     view left by (base_shift + c) to undo the boundary clamp, mask rows
     whose global source index falls outside [0, L) to exact zero (the
@@ -198,20 +212,21 @@ def _dyn_taps(window, wlen: int, base_shifts, c, tile_l: int, dilation: int,
     window: list of 1 (small-d) or 3 (large-d) f32/bf16 views.
     base_shifts: static per-tap extra shift (halo + k*d for the window
     path, 0 for per-tap views).  c: traced clamp correction(s).
-    """
+    even_shift: all shifts guaranteed even (aligned dilations + aligned
+    clamps) — enables the packed bf16 roll."""
     row = jax.lax.broadcasted_iota(jnp.int32, (tile_l, 1), 0)
     taps = []
+    bias = bias.astype(dtype)
     for k in range(3):
         w = window[k % len(window)]
-        w32 = w.astype(jnp.float32) if w.dtype.itemsize < 4 else w
         ck = c[k % len(c)]
         shift = jnp.mod(jnp.int32(wlen) - (base_shifts[k] + ck),
                         jnp.int32(wlen))
-        rolled = pltpu.roll(w32, shift, 0)[:tile_l]
+        rolled = _roll_rows(w, shift, even_shift)[:tile_l].astype(dtype)
         g = j * tile_l + row + (k - 1) * dilation  # global source row
         valid = jnp.logical_and(g >= 0, g < L)
-        taps.append(jnp.where(valid, rolled + bias.astype(jnp.float32),
-                              0.0).astype(dtype))
+        taps.append(jnp.where(valid, rolled + bias,
+                              jnp.zeros((), dtype)))
     return taps
 
 
@@ -285,8 +300,12 @@ def fused_residual_block_v3(
         # traced clamp corrections: c = desired_start - clamped_start
         cs = [j * tile_l + off
               - clamp_start(j * tile_l + off) for off in view_offsets]
+        # shifts are all even when the dilation is even (halo, tile_l and
+        # clamp corrections are ALIGN-multiples) -> packed bf16 roll
         taps = _dyn_taps(views, read_len, base_shifts, cs, tile_l,
-                         dilation, j, L, bias_ref[0, 0], dtype)
+                         dilation, j, L, bias_ref[0, 0], dtype,
+                         even_shift=(dilation % 2 == 0
+                                     and tile_l % 2 == 0))
         _compute(taps, taps[1], wd_ref, bd_ref[0], wres_ref, bres_ref[0],
                  wskip_ref, bskip_ref[0], acc_ref[0], xout_ref.at[0],
                  skip_ref.at[0], C)
@@ -311,6 +330,10 @@ def fused_residual_block_v3(
         input_output_aliases={len(view_offsets) + 7: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # the 3-view + roll temporaries sit ~0.2M over the default
+            # 16M scoped-vmem budget when the call is embedded in a scan;
+            # v5e has far more physical VMEM than the default budget
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
         interpret=interpret,
     )(x, *([x] * (len(view_offsets) - 1)), t_bias[:, None, :].astype(dtype),

@@ -9,6 +9,7 @@ Run alone (exclusive TPU grant): `python scripts/tpu_kernel_bench.py`.
 Env: KB_BATCH (16), KB_CHAIN (8), KB_REPS (3).
 """
 
+import functools
 import json
 import os
 import sys
@@ -70,13 +71,21 @@ def main():
     def chain(fn):
         def run(p, xx, tt):
             def body(c, _):
-                return fn(p, c, tt) * 0.999, None
+                return (fn(p, c, tt) * 0.999).astype(c.dtype), None
             out, _ = jax.lax.scan(body, xx, None, length=CHAIN)
             return out
         return jax.jit(run)
 
+    tile_sweep = [int(s) for s in os.environ.get(
+        "KB_TILES", "").split(",") if s]
+    sweeps = [(f"v3_t{tl}", jax.jit(functools.partial(
+        lambda p, xx, tt, tl: wavenet_forward_pallas(
+            p, xx, tt, block_impl="v3", tile_l=tl), tl=tl)))
+        for tl in tile_sweep]
+
     results = {}
-    for name, fn in [("xla", fwd_xla), ("v2", fwd_v2), ("v3", fwd_v3)]:
+    for name, fn in [("xla", fwd_xla), ("v2", fwd_v2), ("v3", fwd_v3),
+                     *sweeps]:
         cf = chain(fn)
         cf(params, x, t).block_until_ready()  # compile
         best = float("inf")
