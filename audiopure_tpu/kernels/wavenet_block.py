@@ -341,6 +341,152 @@ def fused_residual_block_v3(
     return x_next, skip
 
 
+@functools.partial(jax.jit, static_argnames=("d1", "d2", "tile_l",
+                                             "interpret"))
+def fused_residual_pair(
+    x: jnp.ndarray,          # (B, L, C) current hidden state (UNbiased)
+    t_bias1: jnp.ndarray,    # (B, C) layer-1 timestep bias
+    t_bias2: jnp.ndarray,    # (B, C) layer-2 timestep bias
+    w1: Tuple[jnp.ndarray, ...],  # (wd, bd, wres, bres, wskip, bskip) layer 1
+    w2: Tuple[jnp.ndarray, ...],  # same for layer 2
+    skip_acc: jnp.ndarray,   # (B, L, C_skip) running skip sum
+    d1: int,
+    d2: int,
+    tile_l: int = 1600,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """TWO consecutive residual blocks in one kernel (x never leaves VMEM).
+
+    v3 still round-trips the (L, C) state and the skip accumulator
+    through HBM at every layer boundary — the dominant non-MXU cost of
+    the WaveNet forward (docs/BENCH.md).  For consecutive layers whose
+    combined halo fits the tile, this kernel computes layer 1 on an
+    extended tile (+-halo(d2)) so layer 2's conv taps are available
+    in-register, eliminating one full x write+read and one skip
+    write+read per pair, for 2*halo(d2)/tile_l extra layer-1 FLOPs.
+
+    Mechanics: ONE clamped element-offset window view of the raw x
+    (length tile_l + 2*(halo(d1)+halo(d2))), ONE traced roll undoes the
+    boundary clamp, then every conv tap of both layers is a *static*
+    in-register slice.  Out-of-range rows are masked to exact zero per
+    tap (reference zero-padding semantics, ``WaveNet.py:75-97``) and each
+    layer's timestep bias is added to valid rows only; the residual adds
+    the *biased* x (reference in-place quirk, ``WaveNet.py:78-84``).
+    """
+    B, L, C = x.shape
+    assert L % tile_l == 0 and tile_l % ALIGN == 0, (L, tile_l)
+    skip_ch = w1[4].shape[-1]
+    dtype = x.dtype
+    h2_, h1_ = _halo(d2), _halo(d1)
+    htot = h1_ + h2_
+    ext = tile_l + 2 * h2_       # layer-1 output rows computed per tile
+    wlen = tile_l + 2 * htot     # window rows read per tile
+    assert 2 * htot < tile_l, (d1, d2, tile_l)
+
+    grid = (B, L // tile_l)
+    block_l = pl.BlockSpec((1, tile_l, C), lambda b, j: (b, j, 0))
+    block_skip = pl.BlockSpec((1, tile_l, skip_ch), lambda b, j: (b, j, 0))
+    bias_spec = pl.BlockSpec((1, 1, C), lambda b, j: (b, 0, 0))
+    const = lambda *s: pl.BlockSpec(s, lambda b, j: tuple(  # noqa: E731
+        0 for _ in s), memory_space=pltpu.VMEM)
+
+    def clamp_start(g):
+        return jnp.minimum(jnp.maximum(g, 0), L - wlen)
+
+    window_spec = pl.BlockSpec(
+        (_Element(1), _Element(wlen), _Element(C)),
+        lambda b, j: (b, pl.multiple_of(clamp_start(j * tile_l - htot),
+                                        ALIGN), 0))
+
+    def masked_tap(src, start, g0, length, bias, j):
+        """src[start:start+length] with rows whose global index
+        (j*tile_l + g0 + i) falls outside [0, L) zeroed, bias added to
+        valid rows."""
+        raw = src[start: start + length]
+        row = jax.lax.broadcasted_iota(jnp.int32, (length, 1), 0)
+        g = j * tile_l + g0 + row
+        valid = jnp.logical_and(g >= 0, g < L)
+        return jnp.where(valid, raw + bias, jnp.zeros((), dtype))
+
+    def gated(taps, wd_ref, bd_ref):
+        h = jnp.zeros((taps[0].shape[0], 2 * C), dtype=jnp.float32)
+        for k in range(3):
+            h = h + jnp.dot(taps[k], wd_ref[k],
+                            preferred_element_type=jnp.float32)
+        h = h + bd_ref[:].astype(jnp.float32)[None, :]
+        return (jnp.tanh(h[:, :C])
+                * jax.nn.sigmoid(h[:, C:])).astype(dtype)
+
+    def kernel(win_ref, b1_ref, b2_ref,
+               wd1_ref, bd1_ref, wres1_ref, bres1_ref, wsk1_ref, bsk1_ref,
+               wd2_ref, bd2_ref, wres2_ref, bres2_ref, wsk2_ref, bsk2_ref,
+               acc_ref, xout_ref, skip_ref):
+        j = pl.program_id(1)
+        c = j * tile_l - htot - clamp_start(j * tile_l - htot)
+        # one traced roll undoes the clamp: rolled[i] = window[i + c]
+        rolled = _roll_rows(win_ref[0], jnp.mod(jnp.int32(wlen) - c,
+                                                jnp.int32(wlen)),
+                            even_shift=True)
+
+        bias1 = b1_ref[0, 0].astype(dtype)
+        # layer 1 on the extended tile [-h2, tile_l + h2)
+        taps1 = [masked_tap(rolled, htot - h2_ + k * d1 - d1,
+                            -h2_ + (k - 1) * d1, ext, bias1, j)
+                 for k in range(3)]
+        gate1 = gated(taps1, wd1_ref, bd1_ref[0])
+        res1 = jnp.dot(gate1, wres1_ref[:],
+                       preferred_element_type=jnp.float32)
+        x1 = ((taps1[1].astype(jnp.float32) + res1
+               + bres1_ref[0].astype(jnp.float32)[None, :])
+              * SQRT_HALF).astype(dtype)
+        skip1 = (jnp.dot(gate1[h2_: h2_ + tile_l], wsk1_ref[:],
+                         preferred_element_type=jnp.float32)
+                 + bsk1_ref[0].astype(jnp.float32)[None, :])
+
+        bias2 = b2_ref[0, 0].astype(dtype)
+        # layer 2 on the output tile; taps are static slices of x1
+        taps2 = [masked_tap(x1, h2_ + (k - 1) * d2, (k - 1) * d2,
+                            tile_l, bias2, j)
+                 for k in range(3)]
+        gate2 = gated(taps2, wd2_ref, bd2_ref[0])
+        res2 = jnp.dot(gate2, wres2_ref[:],
+                       preferred_element_type=jnp.float32)
+        xout_ref[0] = ((taps2[1].astype(jnp.float32) + res2
+                        + bres2_ref[0].astype(jnp.float32)[None, :])
+                       * SQRT_HALF).astype(dtype)
+        skip2 = jnp.dot(gate2, wsk2_ref[:],
+                        preferred_element_type=jnp.float32)
+        skip_ref[0] = (acc_ref[0].astype(jnp.float32) + skip1 + skip2
+                       + bsk2_ref[0].astype(jnp.float32)[None, :]).astype(
+            skip_ref.dtype)
+
+    wconsts = [const(3, C, 2 * C), const(1, 2 * C), const(C, C),
+               const(1, C), const(C, skip_ch), const(1, skip_ch)]
+    wd1, bd1, wres1, bres1, wskip1, bskip1 = w1
+    wd2, bd2, wres2, bres2, wskip2, bskip2 = w2
+    x_next, skip = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[window_spec, bias_spec, bias_spec, *wconsts, *wconsts,
+                  block_skip],
+        out_specs=(block_l, block_skip),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L, C), dtype),
+            jax.ShapeDtypeStruct((B, L, skip_ch), dtype),
+        ),
+        input_output_aliases={15: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, t_bias1[:, None, :].astype(dtype), t_bias2[:, None, :].astype(dtype),
+      wd1, bd1[None, :], wres1, bres1[None, :], wskip1, bskip1[None, :],
+      wd2, bd2[None, :], wres2, bres2[None, :], wskip2, bskip2[None, :],
+      skip_acc)
+    return x_next, skip
+
+
 def wavenet_forward_pallas(params, audio, diffusion_steps, *,
                            num_res_layers: int = 36,
                            dilation_cycle: int = 12,
@@ -371,23 +517,40 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
 
     skip_ch = p["res_block_0"]["skip_conv"]["kernel"].shape[-1]
     skip_sum = jnp.zeros((x.shape[0], x.shape[1], skip_ch), dtype=dtype)
-    block = fused_residual_block_v3 if block_impl == "v3" \
-        else fused_residual_block
-    for n in range(num_res_layers):
+    block = fused_residual_block if block_impl == "v2" \
+        else fused_residual_block_v3
+
+    def layer_weights(n):
         bp = p[f"res_block_{n}"]
         t_bias = (emb @ bp["fc_t"]["kernel"] + bp["fc_t"]["bias"]).astype(
             dtype)
-        h, skip_sum = block(
-            h, t_bias,
-            bp["dilated_conv"]["kernel"].astype(dtype),
-            bp["dilated_conv"]["bias"],
-            bp["res_conv"]["kernel"][0].astype(dtype),
-            bp["res_conv"]["bias"],
-            bp["skip_conv"]["kernel"][0].astype(dtype),
-            bp["skip_conv"]["bias"],
-            skip_sum,
-            dilation=2 ** (n % dilation_cycle),
-            tile_l=tile_l, interpret=interpret)
+        return t_bias, (bp["dilated_conv"]["kernel"].astype(dtype),
+                        bp["dilated_conv"]["bias"],
+                        bp["res_conv"]["kernel"][0].astype(dtype),
+                        bp["res_conv"]["bias"],
+                        bp["skip_conv"]["kernel"][0].astype(dtype),
+                        bp["skip_conv"]["bias"])
+
+    n = 0
+    while n < num_res_layers:
+        d = 2 ** (n % dilation_cycle)
+        d_next = 2 ** ((n + 1) % dilation_cycle)
+        # v4: fuse consecutive-layer pairs whose combined halo fits the
+        # tile cheaply (saves the layer-boundary HBM round trip of x+skip)
+        if (block_impl == "v4" and n + 1 < num_res_layers
+                and d_next == 2 * d
+                and _halo(d) + _halo(d_next) <= tile_l // 8):
+            tb1, w1 = layer_weights(n)
+            tb2, w2 = layer_weights(n + 1)
+            h, skip_sum = fused_residual_pair(
+                h, tb1, tb2, w1, w2, skip_sum, d1=d, d2=d_next,
+                tile_l=tile_l, interpret=interpret)
+            n += 2
+            continue
+        t_bias, w = layer_weights(n)
+        h, skip_sum = block(h, t_bias, *w, skip_sum, dilation=d,
+                            tile_l=tile_l, interpret=interpret)
+        n += 1
 
     out = skip_sum.astype(jnp.float32) * math.sqrt(1.0 / num_res_layers)
     out = jax.nn.relu(

@@ -58,7 +58,8 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     d.add_argument("--conv_impl", type=str, default="xla",
                    choices=["xla", "matmul", "pallas"],
                    help="WaveNet conv path; 'pallas' = fused VMEM-resident "
-                        "residual-block kernel (forward-only)")
+                        "residual-block kernel (custom-VJP recompute "
+                        "backward when --grad_mode full)")
 
     v = parser.add_argument_group("device/saving")
     v.add_argument("--batch_size", type=int, default=10)
@@ -136,6 +137,22 @@ def make_wave2spect(args):
     return MelFrontEnd(n_mels=n_mels)
 
 
+def pallas_forward_fn(grad_mode: str):
+    """Pick the fused-kernel WaveNet forward for the eps-net.
+
+    ``grad_mode='full'`` differentiates *through* the eps-net, so it gets
+    the custom-VJP wrapper (pallas forward, recompute backward —
+    ``kernels/wavenet_block_grad.py``); ``'ref'`` reproduces the
+    reference's stop-grad contract (``diffwave_ddpm.py:166``) and uses the
+    forward-only kernel."""
+    if grad_mode == "full":
+        from audiopure_tpu.kernels.wavenet_block_grad import \
+            wavenet_forward_pallas_grad
+        return wavenet_forward_pallas_grad
+    from audiopure_tpu.kernels.wavenet_block import wavenet_forward_pallas
+    return wavenet_forward_pallas
+
+
 def load_diffwave_eps_fn(args):
     """Build the DiffWave eps-net from an orbax dir or torch .pkl ckpt."""
     import dataclasses
@@ -176,11 +193,9 @@ def load_diffwave_eps_fn(args):
               "falling back to xla")
         conv_impl = "xla"
     if conv_impl == "pallas":
-        from audiopure_tpu.kernels.wavenet_block import \
-            wavenet_forward_pallas
-
         w = cfg.wavenet
-        return (lambda x, t: wavenet_forward_pallas(
+        fwd = pallas_forward_fn(getattr(args, "grad_mode", "ref"))
+        return (lambda x, t: fwd(
             params, x, t, num_res_layers=w.num_res_layers,
             dilation_cycle=w.dilation_cycle,
             embed_dim_in=w.diffusion_step_embed_dim_in,

@@ -118,6 +118,34 @@ def main():
     print(json.dumps({"probe": "kws_pgd", **results["kws_pgd"]}),
           flush=True)
 
+    # ---------- grad_mode='full' PGD: pallas custom-VJP vs XLA -----------
+    # VERDICT r1 weak#2: full-grad PGD was 612 ms/iter (XLA + remat) vs
+    # 308 ms ref-mode; the custom-VJP fused kernel should close the gap.
+    from cli.common import pallas_forward_fn
+
+    Bf = 4
+    xf = jax.random.normal(jax.random.PRNGKey(10), (Bf, 1, 16000)) * 0.1
+    yf = jnp.zeros((Bf,), jnp.int32)
+    for impl in ("pallas", "xla"):
+        if impl == "pallas":
+            fwd = pallas_forward_fn("full")
+            efn = lambda xx, tt: fwd(wparams, xx, tt,
+                                     dtype=jnp.bfloat16).astype(jnp.float32)
+        else:
+            efn = eps_fn
+        dfn = RevDiffWave(efn, T=200, t=3, grad_mode="full", remat=True)
+        sys_f = AcousticSystem(classifier, fe, dfn, "wave",
+                               defender_stochastic=True)
+        atkf = AudioAttack(lambda xx, kk: sys_f(xx, key=kk), eps=0.002,
+                           max_iter_1=ITR, learning_rate_1=0.0004)
+        t = timeit(lambda: atkf.generate(xf, yf, jax.random.PRNGKey(11))[0])
+        results[f"fullgrad_pgd_{impl}"] = dict(
+            ms_per_pgd_iter=round(t * 1e3 / ITR, 1),
+            ms_per_utt_iter=round(t * 1e3 / (Bf * ITR), 2),
+            batch=Bf, iters=ITR, t_sde=3)
+        print(json.dumps({"probe": f"fullgrad_pgd_{impl}",
+                          **results[f"fullgrad_pgd_{impl}"]}), flush=True)
+
     print(json.dumps({"summary": results}))
 
 

@@ -82,6 +82,108 @@ def test_block_dilation_edges(dilation, impl):
                                rtol=1e-3)
 
 
+def _np_block(xb, wd, bd, wres, bres, wskip, bskip, d, L, C):
+    """numpy reference of one residual block on the biased input xb."""
+    xp = np.pad(xb, ((d, d), (0, 0)))
+    h = (xp[:L] @ np.asarray(wd[0])
+         + xp[d: d + L] @ np.asarray(wd[1])
+         + xp[2 * d: 2 * d + L] @ np.asarray(wd[2]) + np.asarray(bd))
+    gate = np.tanh(h[:, :C]) / (1 + np.exp(-h[:, C:]))
+    x_next = (xb + gate @ np.asarray(wres) + np.asarray(bres)) * np.sqrt(0.5)
+    skip = gate @ np.asarray(wskip) + np.asarray(bskip)
+    return x_next, skip
+
+
+@pytest.mark.parametrize("d1", [1, 4, 16, 64])
+def test_fused_pair_matches_two_blocks(d1):
+    """The pair kernel must equal two sequential reference blocks,
+    including boundary zero-padding of BOTH layers."""
+    from audiopure_tpu.kernels.wavenet_block import fused_residual_pair
+
+    d2 = 2 * d1
+    C, L, TL = 8, 1024, 512 if d1 == 64 else 256
+    key = jax.random.PRNGKey(d1)
+    ks = jax.random.split(key, 16)
+    x = jax.random.normal(ks[0], (2, L, C)) * 0.5
+    tb1 = jax.random.normal(ks[1], (2, C)) * 0.5
+    tb2 = jax.random.normal(ks[2], (2, C)) * 0.5
+
+    def wset(i):
+        return (jax.random.normal(ks[3 + i], (3, C, 2 * C)) * 0.2,
+                jax.random.normal(ks[4 + i], (2 * C,)) * 0.1,
+                jax.random.normal(ks[5 + i], (C, C)) * 0.2,
+                jax.random.normal(ks[6 + i], (C,)) * 0.1,
+                jax.random.normal(ks[7 + i], (C, C)) * 0.2,
+                jax.random.normal(ks[8 + i], (C,)) * 0.1)
+
+    w1, w2 = wset(0), wset(6)
+    acc = jax.random.normal(ks[15], (2, L, C)) * 0.3
+    got_x, got_s = fused_residual_pair(x, tb1, tb2, w1, w2, acc,
+                                       d1=d1, d2=d2, tile_l=TL,
+                                       interpret=True)
+    for b in range(2):
+        xb1 = np.asarray(x)[b] + np.asarray(tb1)[b]
+        x1, s1 = _np_block(xb1, *[np.asarray(a) for a in w1], d1, L, C)
+        xb2 = x1 + np.asarray(tb2)[b]
+        x2, s2 = _np_block(xb2, *[np.asarray(a) for a in w2], d2, L, C)
+        np.testing.assert_allclose(np.asarray(got_x)[b], x2, atol=1e-4,
+                                   rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(got_s)[b],
+                                   s1 + s2 + np.asarray(acc)[b],
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_full_forward_v4_matches_flax():
+    """v4 (pair-fused) full forward == flax model; L/tile chosen so the
+    pair path actually engages (halo sum <= tile_l // 8)."""
+    net, params = _net_and_params()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 1024)) * 0.3
+    t = jnp.asarray([[3.0], [17.0]])
+    want = np.asarray(net.apply(params, x, t))
+    got = np.asarray(wavenet_forward_pallas(
+        params, x, t, num_res_layers=4, dilation_cycle=2, embed_dim_in=16,
+        dtype=jnp.float32, tile_l=256, block_impl="v4", interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_cli_pallas_path_selects_grad_kernel():
+    """--conv_impl pallas --grad_mode full must route through the
+    custom-VJP wrapper; 'ref' keeps the forward-only kernel."""
+    from audiopure_tpu.kernels.wavenet_block_grad import \
+        wavenet_forward_pallas_grad
+    from cli.common import pallas_forward_fn
+
+    assert pallas_forward_fn("full") is wavenet_forward_pallas_grad
+    assert pallas_forward_fn("ref") is wavenet_forward_pallas
+
+
+def test_full_grad_purifier_on_pallas_eps_net():
+    """grad_mode='full' RevDiffWave gradients through the pallas eps-net
+    (interpret mode) match the flax/XLA eps-net."""
+    from audiopure_tpu.diffusion.vpsde import RevDiffWave
+    from audiopure_tpu.kernels.wavenet_block_grad import \
+        wavenet_forward_pallas_grad
+
+    net, params = _net_and_params()
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 1, 400)) * 0.3
+    key = jax.random.PRNGKey(8)
+
+    def purify_loss(eps_fn, xx):
+        rd = RevDiffWave(eps_fn, T=50, t=2, grad_mode="full")
+        return jnp.sum(rd(xx, key) ** 2)
+
+    eps_xla = lambda a, t: net.apply(params, a, t)
+    eps_pal = lambda a, t: wavenet_forward_pallas_grad(
+        params, a, t, num_res_layers=4, dilation_cycle=2, embed_dim_in=16,
+        dtype=jnp.float32, tile_l=80)
+
+    v1, g1 = jax.value_and_grad(lambda xx: purify_loss(eps_xla, xx))(x)
+    v2, g2 = jax.value_and_grad(lambda xx: purify_loss(eps_pal, xx))(x)
+    np.testing.assert_allclose(v2, v1, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-4,
+                               rtol=1e-3)
+
+
 def test_wavenet_pallas_grad_matches_xla_autodiff():
     """wavenet_forward_pallas_grad (custom VJP: pallas fwd + recompute
     bwd) must match jax.grad through the flax/XLA net — params, input,
