@@ -531,20 +531,33 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
                         bp["skip_conv"]["kernel"][0].astype(dtype),
                         bp["skip_conv"]["bias"])
 
+    L = x.shape[1]
+
+    def pair_tile(d1, d2):
+        """Tile for the fused pair, or None when pairing loses: the
+        extended layer-1 tile must cost <= ~1/3 extra rows (2*halo(d2)
+        <= tile/3), upgrading to a double tile for medium dilations."""
+        for tl in (tile_l, 2 * tile_l):
+            if (L % tl == 0 and 2 * _halo(d2) <= tl // 3
+                    and 2 * (_halo(d1) + _halo(d2)) < tl):
+                return tl
+        return None
+
     n = 0
     while n < num_res_layers:
         d = 2 ** (n % dilation_cycle)
         d_next = 2 ** ((n + 1) % dilation_cycle)
         # v4: fuse consecutive-layer pairs whose combined halo fits the
         # tile cheaply (saves the layer-boundary HBM round trip of x+skip)
-        if (block_impl == "v4" and n + 1 < num_res_layers
-                and d_next == 2 * d
-                and _halo(d) + _halo(d_next) <= tile_l // 8):
+        tl = pair_tile(d, d_next) if (block_impl == "v4"
+                                      and n + 1 < num_res_layers
+                                      and d_next == 2 * d) else None
+        if tl is not None:
             tb1, w1 = layer_weights(n)
             tb2, w2 = layer_weights(n + 1)
             h, skip_sum = fused_residual_pair(
                 h, tb1, tb2, w1, w2, skip_sum, d1=d, d2=d_next,
-                tile_l=tile_l, interpret=interpret)
+                tile_l=tl, interpret=interpret)
             n += 2
             continue
         t_bias, w = layer_weights(n)

@@ -146,6 +146,27 @@ def test_full_forward_v4_matches_flax():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
 
 
+def test_full_forward_v4_tile_upgrade_matches_flax():
+    """The (64,128) pair only fits a 2x tile (2*halo(128)=256 > 512//3);
+    this config drives the per-pair tile-upgrade path end to end."""
+    net = WaveNet(res_channels=8, skip_channels=8, num_res_layers=8,
+                  dilation_cycle=12, diffusion_step_embed_dim_in=16,
+                  diffusion_step_embed_dim_mid=32,
+                  diffusion_step_embed_dim_out=32)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 4096)) * 0.3
+    t = jnp.asarray([[5.0]])
+    params = flax.core.unfreeze(
+        net.init(jax.random.PRNGKey(4), x, jnp.zeros((1, 1))))
+    params["params"]["final_conv2"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(5),
+        params["params"]["final_conv2"]["kernel"].shape) * 0.1
+    want = np.asarray(net.apply(params, x, t))
+    got = np.asarray(wavenet_forward_pallas(
+        params, x, t, num_res_layers=8, dilation_cycle=12, embed_dim_in=16,
+        dtype=jnp.float32, tile_l=512, block_impl="v4", interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
 def test_cli_pallas_path_selects_grad_kernel():
     """--conv_impl pallas --grad_mode full must route through the
     custom-VJP wrapper; 'ref' keeps the forward-only kernel."""
