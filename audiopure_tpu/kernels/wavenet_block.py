@@ -493,7 +493,7 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
                            embed_dim_in: int = 128,
                            dtype=jnp.bfloat16,
                            tile_l: int = 1600,
-                           block_impl: str = "v3",
+                           block_impl: str = "v4",
                            interpret: bool = False) -> jnp.ndarray:
     """Full WaveNet forward using the fused block for every residual layer.
 
