@@ -487,6 +487,143 @@ def fused_residual_pair(
     return x_next, skip
 
 
+@functools.partial(jax.jit, static_argnames=("dilation_cycle", "chunk_l",
+                                             "interpret"))
+def fused_residual_stack(
+    x: jnp.ndarray,          # (B, L, C) hidden state after init_conv
+    t_biases: jnp.ndarray,   # (B, NL, C) per-layer timestep biases
+    wd: jnp.ndarray,         # (NL, 3, C, 2C)
+    bd: jnp.ndarray,         # (NL, 2C)
+    wres: jnp.ndarray,       # (NL, C, C)
+    bres: jnp.ndarray,       # (NL, C)
+    wskip: jnp.ndarray,      # (NL, C, Cs)
+    bskip: jnp.ndarray,      # (NL, Cs)
+    dilation_cycle: int,
+    chunk_l: int = 2000,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """ALL residual layers in ONE kernel — the (L, C) state never leaves
+    VMEM (v5).
+
+    v4 still writes/reads the hidden state and skip accumulator at every
+    fused-group boundary.  v5e has ~128 MB of VMEM (probed:
+    ``scripts/tpu_vmem_probe.py``), enough to hold one batch row's full
+    16000x256 state twice (ping-pong) plus an f32 skip accumulator and a
+    dilation cycle's weights.  Grid = (batch row, dilation cycle); the
+    kernel body runs the cycle's layers as a *static* python loop —
+    static dilations, static chunk slices, no rolls, no halo recompute.
+    Margin rows around the resident buffers are zeroed once and provide
+    the conv zero padding for every dilation.
+
+    HBM traffic per batch row: x in once, skip out once, weights streamed
+    once per cycle.  Returns the skip sum (B, L, Cs); the final hidden
+    state is discarded (the WaveNet head only consumes the skip path,
+    ref ``WaveNet.py:99-103``).  Reference semantics are those of
+    v3/v4: zero conv padding beyond [0, L), bias added to valid rows,
+    residual adds the *biased* x (ref in-place quirk,
+    ``WaveNet.py:78-84``).
+    """
+    B, L, C = x.shape
+    NL, _, _, C2 = wd.shape
+    skip_ch = wskip.shape[-1]
+    dtype = x.dtype
+    assert NL % dilation_cycle == 0, (NL, dilation_cycle)
+    assert L % chunk_l == 0, (L, chunk_l)
+    n_cycles = NL // dilation_cycle
+    margin = _halo(2 ** (dilation_cycle - 1))
+    rows = margin + L + margin
+
+    grid = (B, n_cycles)
+    cyc = dilation_cycle
+
+    def wspec(*s):
+        return pl.BlockSpec((cyc, *s), lambda b, c: (c,) + (0,) * len(s),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(x_ref, tb_ref, wd_ref, bd_ref, wres_ref, bres_ref,
+               wsk_ref, bsk_ref, out_ref, xa, xb, skip):
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _init():
+            xa[:margin] = jnp.zeros((margin, C), dtype)
+            xa[margin + L:] = jnp.zeros((margin, C), dtype)
+            xb[:margin] = jnp.zeros((margin, C), dtype)
+            xb[margin + L:] = jnp.zeros((margin, C), dtype)
+            xa[margin: margin + L] = x_ref[0]
+            skip[:] = jnp.zeros((L, skip_ch), jnp.float32)
+
+        for j in range(cyc):
+            d = 2 ** j
+            cur, nxt = (xa, xb) if j % 2 == 0 else (xb, xa)
+            bias = tb_ref[0, j].astype(dtype)
+            for s in range(0, L, chunk_l):
+                taps = []
+                for k in range(3):
+                    off = (k - 1) * d
+                    sl = cur[margin + s + off: margin + s + off + chunk_l]
+                    if 0 <= s + off and s + off + chunk_l <= L:
+                        taps.append(sl + bias)
+                    else:
+                        # boundary chunk: margin rows are zero (conv
+                        # padding); keep them bias-free
+                        row = jax.lax.broadcasted_iota(
+                            jnp.int32, (chunk_l, 1), 0)
+                        g = s + off + row
+                        valid = jnp.logical_and(g >= 0, g < L)
+                        taps.append(jnp.where(valid, sl + bias,
+                                              jnp.zeros((), dtype)))
+                h = jnp.zeros((chunk_l, C2), dtype=jnp.float32)
+                for k in range(3):
+                    h = h + jnp.dot(taps[k], wd_ref[j, k],
+                                    preferred_element_type=jnp.float32)
+                h = h + bd_ref[j].astype(jnp.float32)[None, :]
+                gate = (jnp.tanh(h[:, :C])
+                        * jax.nn.sigmoid(h[:, C:])).astype(dtype)
+                res = jnp.dot(gate, wres_ref[j],
+                              preferred_element_type=jnp.float32)
+                nxt[margin + s: margin + s + chunk_l] = (
+                    (taps[1].astype(jnp.float32) + res
+                     + bres_ref[j].astype(jnp.float32)[None, :])
+                    * SQRT_HALF).astype(dtype)
+                skip[s: s + chunk_l] += (
+                    jnp.dot(gate, wsk_ref[j],
+                            preferred_element_type=jnp.float32)
+                    + bsk_ref[j].astype(jnp.float32)[None, :])
+        if cyc % 2 == 1:
+            # odd cycle length: bring the state back to xa for the next
+            # grid step (one VMEM copy per cycle)
+            xa[margin: margin + L] = xb[margin: margin + L]
+
+        @pl.when(c == n_cycles - 1)
+        def _out():
+            out_ref[0] = skip[:].astype(out_ref.dtype)
+
+    skip_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, L, C), lambda b, c: (b, 0, 0)),        # x
+            pl.BlockSpec((1, cyc, C), lambda b, c: (b, c, 0)),      # t_bias
+            wspec(3, C, C2), wspec(C2), wspec(C, C), wspec(C),
+            wspec(C, skip_ch), wspec(skip_ch),
+        ],
+        out_specs=pl.BlockSpec((1, L, skip_ch), lambda b, c: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, skip_ch), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows, C), dtype),           # xa
+            pltpu.VMEM((rows, C), dtype),           # xb
+            pltpu.VMEM((L, skip_ch), jnp.float32),  # skip accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, t_biases, wd, bd, wres, bres, wskip, bskip)
+    return skip_out
+
+
 def wavenet_forward_pallas(params, audio, diffusion_steps, *,
                            num_res_layers: int = 36,
                            dilation_cycle: int = 12,
@@ -516,6 +653,34 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
         + p["init_conv"]["bias"].astype(dtype))
 
     skip_ch = p["res_block_0"]["skip_conv"]["kernel"].shape[-1]
+    L = x.shape[1]
+
+    if block_impl == "v5" and num_res_layers % dilation_cycle == 0:
+        chunk = next(c for c in (2000, 2048, 1600, 1024, 1000, 800, 512,
+                                 400, 256, 128, L) if L % c == 0)
+        blocks = [p[f"res_block_{n}"] for n in range(num_res_layers)]
+        t_biases = jnp.stack(
+            [(emb @ bp["fc_t"]["kernel"] + bp["fc_t"]["bias"]) for bp in
+             blocks], axis=1).astype(dtype)                   # (B, NL, C)
+        stack = lambda f: jnp.stack([f(bp) for bp in blocks])
+        skip_sum = fused_residual_stack(
+            h, t_biases,
+            stack(lambda bp: bp["dilated_conv"]["kernel"].astype(dtype)),
+            stack(lambda bp: bp["dilated_conv"]["bias"]),
+            stack(lambda bp: bp["res_conv"]["kernel"][0].astype(dtype)),
+            stack(lambda bp: bp["res_conv"]["bias"]),
+            stack(lambda bp: bp["skip_conv"]["kernel"][0].astype(dtype)),
+            stack(lambda bp: bp["skip_conv"]["bias"]),
+            dilation_cycle=dilation_cycle, chunk_l=chunk,
+            interpret=interpret)
+        out = skip_sum.astype(jnp.float32) * math.sqrt(1.0 / num_res_layers)
+        out = jax.nn.relu(
+            jnp.einsum("blc,kco->blo", out, p["final_conv1"]["kernel"])
+            + p["final_conv1"]["bias"])
+        out = (jnp.einsum("blc,kco->blo", out, p["final_conv2"]["kernel"])
+               + p["final_conv2"]["bias"])
+        return jnp.swapaxes(out, 1, 2)
+
     skip_sum = jnp.zeros((x.shape[0], x.shape[1], skip_ch), dtype=dtype)
     block = fused_residual_block if block_impl == "v2" \
         else fused_residual_block_v3
@@ -549,7 +714,7 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
         d_next = 2 ** ((n + 1) % dilation_cycle)
         # v4: fuse consecutive-layer pairs whose combined halo fits the
         # tile cheaply (saves the layer-boundary HBM round trip of x+skip)
-        tl = pair_tile(d, d_next) if (block_impl == "v4"
+        tl = pair_tile(d, d_next) if (block_impl in ("v4", "v5")
                                       and n + 1 < num_res_layers
                                       and d_next == 2 * d) else None
         if tl is not None:

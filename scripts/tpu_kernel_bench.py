@@ -55,12 +55,15 @@ def main():
         p, xx, tt, block_impl="v3"))
     fwd_v4 = jax.jit(lambda p, xx, tt: wavenet_forward_pallas(
         p, xx, tt, block_impl="v4"))
+    fwd_v5 = jax.jit(lambda p, xx, tt: wavenet_forward_pallas(
+        p, xx, tt, block_impl="v5"))
 
     # ---- correctness at full size --------------------------------------
     print("compiling + checking numerics ...", flush=True)
     import numpy as np
     ref = np.asarray(fwd_xla(params, x, t), dtype=np.float32)
-    for name, fn in [("v2", fwd_v2), ("v3", fwd_v3), ("v4", fwd_v4)]:
+    for name, fn in [("v2", fwd_v2), ("v3", fwd_v3), ("v4", fwd_v4),
+                     ("v5", fwd_v5)]:
         out = np.asarray(fn(params, x, t), dtype=np.float32)
         scale = np.abs(ref).max()
         max_abs = np.abs(out - ref).max()
@@ -87,7 +90,7 @@ def main():
 
     results = {}
     for name, fn in [("xla", fwd_xla), ("v2", fwd_v2), ("v3", fwd_v3),
-                     ("v4", fwd_v4), *sweeps]:
+                     ("v4", fwd_v4), ("v5", fwd_v5), *sweeps]:
         cf = chain(fn)
         cf(params, x, t).block_until_ready()  # compile
         best = float("inf")

@@ -146,6 +146,40 @@ def test_full_forward_v4_matches_flax():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
 
 
+def test_full_forward_v5_matches_flax():
+    """v5 (whole-net layer-resident kernel) == flax model, including the
+    zero-padding margins and the cross-cycle ping-pong (4 layers = 2
+    cycles of 2)."""
+    net, params = _net_and_params()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 1024)) * 0.3
+    t = jnp.asarray([[3.0], [17.0]])
+    want = np.asarray(net.apply(params, x, t))
+    got = np.asarray(wavenet_forward_pallas(
+        params, x, t, num_res_layers=4, dilation_cycle=2, embed_dim_in=16,
+        dtype=jnp.float32, block_impl="v5", interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_full_forward_v5_odd_cycle_matches_flax():
+    """Odd dilation_cycle exercises the xb->xa copy-back across cycles."""
+    net = WaveNet(res_channels=8, skip_channels=8, num_res_layers=6,
+                  dilation_cycle=3, diffusion_step_embed_dim_in=16,
+                  diffusion_step_embed_dim_mid=32,
+                  diffusion_step_embed_dim_out=32)
+    x = jax.random.normal(jax.random.PRNGKey(9), (1, 1, 1024)) * 0.3
+    t = jnp.asarray([[7.0]])
+    params = flax.core.unfreeze(
+        net.init(jax.random.PRNGKey(10), x, jnp.zeros((1, 1))))
+    params["params"]["final_conv2"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(11),
+        params["params"]["final_conv2"]["kernel"].shape) * 0.1
+    want = np.asarray(net.apply(params, x, t))
+    got = np.asarray(wavenet_forward_pallas(
+        params, x, t, num_res_layers=6, dilation_cycle=3, embed_dim_in=16,
+        dtype=jnp.float32, block_impl="v5", interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
 def test_full_forward_v4_tile_upgrade_matches_flax():
     """The (64,128) pair only fits a 2x tile (2*halo(128)=256 > 512//3);
     this config drives the per-pair tile-upgrade path end to end."""
