@@ -540,6 +540,12 @@ def fused_residual_stack(
         return pl.BlockSpec((cyc, *s), lambda b, c: (c,) + (0,) * len(s),
                             memory_space=pltpu.VMEM)
 
+    # per-layer bias rows ride as (n_cycles, cyc, dim) so the block's last
+    # two dims equal the array dims (Mosaic block-shape rule)
+    def bspec(dim):
+        return pl.BlockSpec((1, cyc, dim), lambda b, c: (c, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     def kernel(x_ref, tb_ref, wd_ref, bd_ref, wres_ref, bres_ref,
                wsk_ref, bsk_ref, out_ref, xa, xb, skip):
         c = pl.program_id(1)
@@ -551,12 +557,12 @@ def fused_residual_stack(
             xb[:margin] = jnp.zeros((margin, C), dtype)
             xb[margin + L:] = jnp.zeros((margin, C), dtype)
             xa[margin: margin + L] = x_ref[0]
-            skip[:] = jnp.zeros((L, skip_ch), jnp.float32)
+            skip[:] = jnp.zeros((L, skip_ch), dtype)
 
         for j in range(cyc):
             d = 2 ** j
             cur, nxt = (xa, xb) if j % 2 == 0 else (xb, xa)
-            bias = tb_ref[0, j].astype(dtype)
+            bias = tb_ref[0, 0, j].astype(dtype)
             for s in range(0, L, chunk_l):
                 taps = []
                 for k in range(3):
@@ -577,19 +583,23 @@ def fused_residual_stack(
                 for k in range(3):
                     h = h + jnp.dot(taps[k], wd_ref[j, k],
                                     preferred_element_type=jnp.float32)
-                h = h + bd_ref[j].astype(jnp.float32)[None, :]
+                h = h + bd_ref[0, j].astype(jnp.float32)[None, :]
                 gate = (jnp.tanh(h[:, :C])
                         * jax.nn.sigmoid(h[:, C:])).astype(dtype)
                 res = jnp.dot(gate, wres_ref[j],
                               preferred_element_type=jnp.float32)
                 nxt[margin + s: margin + s + chunk_l] = (
                     (taps[1].astype(jnp.float32) + res
-                     + bres_ref[j].astype(jnp.float32)[None, :])
+                     + bres_ref[0, j].astype(jnp.float32)[None, :])
                     * SQRT_HALF).astype(dtype)
-                skip[s: s + chunk_l] += (
-                    jnp.dot(gate, wsk_ref[j],
-                            preferred_element_type=jnp.float32)
-                    + bsk_ref[j].astype(jnp.float32)[None, :])
+                # skip rides bf16 like the v3/v4 HBM accumulator (each
+                # layer's contribution still f32-accumulated in the dot)
+                skip[s: s + chunk_l] = (
+                    skip[s: s + chunk_l].astype(jnp.float32)
+                    + jnp.dot(gate, wsk_ref[j],
+                              preferred_element_type=jnp.float32)
+                    + bsk_ref[0, j].astype(jnp.float32)[None, :]
+                ).astype(dtype)
         if cyc % 2 == 1:
             # odd cycle length: bring the state back to xa for the next
             # grid step (one VMEM copy per cycle)
@@ -604,23 +614,27 @@ def fused_residual_stack(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, L, C), lambda b, c: (b, 0, 0)),        # x
-            pl.BlockSpec((1, cyc, C), lambda b, c: (b, c, 0)),      # t_bias
-            wspec(3, C, C2), wspec(C2), wspec(C, C), wspec(C),
-            wspec(C, skip_ch), wspec(skip_ch),
+            # (B, n_cycles, cyc, C): the Mosaic block-shape rule needs the
+            # last two block dims to equal the array dims
+            pl.BlockSpec((1, 1, cyc, C), lambda b, c: (b, c, 0, 0)),
+            wspec(3, C, C2), bspec(C2), wspec(C, C), bspec(C),
+            wspec(C, skip_ch), bspec(skip_ch),
         ],
         out_specs=pl.BlockSpec((1, L, skip_ch), lambda b, c: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, L, skip_ch), dtype),
         scratch_shapes=[
             pltpu.VMEM((rows, C), dtype),           # xa
             pltpu.VMEM((rows, C), dtype),           # xb
-            pltpu.VMEM((L, skip_ch), jnp.float32),  # skip accumulator
+            pltpu.VMEM((L, skip_ch), dtype),        # skip accumulator
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x, t_biases, wd, bd, wres, bres, wskip, bskip)
+    )(x, t_biases.reshape(B, n_cycles, cyc, C), wd,
+      bd.reshape(n_cycles, cyc, C2), wres, bres.reshape(n_cycles, cyc, C),
+      wskip, bskip.reshape(n_cycles, cyc, skip_ch))
     return skip_out
 
 
@@ -630,7 +644,7 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
                            embed_dim_in: int = 128,
                            dtype=jnp.bfloat16,
                            tile_l: int = 1600,
-                           block_impl: str = "v4",
+                           block_impl: str = "v5",
                            interpret: bool = False) -> jnp.ndarray:
     """Full WaveNet forward using the fused block for every residual layer.
 

@@ -38,6 +38,11 @@ def main(argv=None):
                              "parametrization, WaveNet.py:28)")
     parser.add_argument("--dp", type=int, default=-1)
     parser.add_argument("--tp", type=int, default=1)
+    parser.add_argument("--conv_impl", default="xla",
+                        choices=["xla", "pallas"],
+                        help="'pallas' trains through the fused kernel's "
+                             "custom VJP (dp-only: needs --tp 1, no "
+                             "--weight_norm, a TPU backend)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -123,8 +128,24 @@ def main(argv=None):
         step=rep, params=param_sharding,
         opt_state=jax.tree_util.tree_map(lambda _: rep, state.opt_state),
         key=rep)
+    apply_fn = net.apply
+    if args.conv_impl == "pallas":
+        unsupported = (args.tp != 1 or args.weight_norm
+                       or jax.default_backend() not in ("tpu", "axon"))
+        if unsupported:
+            print("WARNING: --conv_impl pallas needs --tp 1, no "
+                  "--weight_norm and a TPU backend; using xla")
+        else:
+            from audiopure_tpu.kernels.wavenet_block_grad import \
+                wavenet_forward_pallas_grad
+            w = cfg.wavenet
+            apply_fn = lambda p, xx, tt: wavenet_forward_pallas_grad(
+                p, xx, tt, num_res_layers=w.num_res_layers,
+                dilation_cycle=w.dilation_cycle,
+                embed_dim_in=w.diffusion_step_embed_dim_in,
+                dtype=jnp.bfloat16).astype(jnp.float32)
     train_step = jax.jit(
-        make_train_step(net.apply, schedule, optimizer),
+        make_train_step(apply_fn, schedule, optimizer),
         in_shardings=(state_sharding, batch_sharding(mesh)),
         out_shardings=(state_sharding, rep))
     state = jax.device_put(state, state_sharding)
