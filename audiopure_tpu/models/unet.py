@@ -207,32 +207,96 @@ class UNetModel(nn.Module):
         return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)  # NCHW
 
 
+class SuperResUNet(UNetModel):
+    """Super-resolution UNet: conditions on a bilinear-upsampled low-res
+    image concatenated on the channel axis (ref ``unet.py:526-546``).
+
+    ``__call__(x, timesteps, low_res=, y=)`` with x/low_res NCHW. The
+    parameter tree is a plain :class:`UNetModel` tree whose ``in_conv``
+    sees ``2 * in_channels`` input channels (flax infers fan-in), exactly
+    like the reference's ``SuperResModel(in_channels * 2)``.
+    """
+
+    def __call__(self, x, timesteps, low_res=None, y=None,
+                 train: bool = False):
+        assert low_res is not None, "SuperResUNet requires low_res= kwarg"
+        B, C, H, W = x.shape
+        # torch F.interpolate(mode="bilinear", align_corners=False) and
+        # jax.image.resize "bilinear" both use half-pixel centers
+        up = jax.image.resize(low_res, (low_res.shape[0],
+                                        low_res.shape[1], H, W),
+                              "bilinear")
+        x = jnp.concatenate([x, up.astype(x.dtype)], axis=1)
+        return UNetModel.__call__(self, x, timesteps, y=y, train=train)
+
+
+# Dense labels in the reference image pipeline (``script_util.py:8``)
+NUM_CLASSES = 1000
+
+
+def _image_channel_mult(image_size: int):
+    """ref ``script_util.create_model:99-106`` / ``sr_create_model``."""
+    if image_size == 256:
+        return (1, 1, 2, 2, 4, 4)
+    elif image_size == 64:
+        return (1, 2, 3, 4)
+    elif image_size == 32:
+        return (1, 2, 2, 2)
+    raise ValueError(f"unsupported image size: {image_size}")
+
+
 def create_unet(image_size: int = 32, num_channels: int = 128,
                 num_res_blocks: int = 3, learn_sigma: bool = False,
                 class_cond: bool = False, attention_resolutions="16,8",
                 num_heads: int = 4, num_heads_upsample: int = -1,
                 use_scale_shift_norm: bool = True, dropout: float = 0.3,
-                dtype=jnp.float32) -> UNetModel:
-    """Mirror of ``script_util.create_model`` (``:87-126``)."""
-    if image_size == 256:
-        channel_mult = (1, 1, 2, 2, 4, 4)
-    elif image_size == 64:
-        channel_mult = (1, 2, 3, 4)
-    elif image_size == 32:
-        channel_mult = (1, 2, 2, 2)
-    else:
-        raise ValueError(f"unsupported image size: {image_size}")
+                in_channels: int = 1, dtype=jnp.float32) -> UNetModel:
+    """Mirror of ``script_util.create_model`` (``:87-126``).
+
+    ``in_channels=1`` is the audio repo's mel configuration; the image
+    CLIs pass 3 (RGB, ref default)."""
+    channel_mult = _image_channel_mult(image_size)
     attention_ds = tuple(image_size // int(r)
                          for r in str(attention_resolutions).split(","))
     return UNetModel(
-        in_channels=1,
+        in_channels=in_channels,
         model_channels=num_channels,
-        out_channels=(2 if learn_sigma else 1),
+        out_channels=(in_channels * 2 if learn_sigma else in_channels),
         num_res_blocks=num_res_blocks,
         attention_resolutions=attention_ds,
         dropout=dropout,
         channel_mult=channel_mult,
-        num_classes=(1000 if class_cond else None),
+        num_classes=(NUM_CLASSES if class_cond else None),
+        num_heads=num_heads,
+        num_heads_upsample=num_heads_upsample,
+        use_scale_shift_norm=use_scale_shift_norm,
+        dtype=dtype,
+    )
+
+
+def create_sr_unet(large_size: int = 256, small_size: int = 64,
+                   num_channels: int = 128, num_res_blocks: int = 3,
+                   learn_sigma: bool = False, class_cond: bool = False,
+                   attention_resolutions="16,8", num_heads: int = 4,
+                   num_heads_upsample: int = -1,
+                   use_scale_shift_norm: bool = True, dropout: float = 0.0,
+                   dtype=jnp.float32) -> SuperResUNet:
+    """Mirror of ``script_util.sr_create_model`` (``:188-228``): the
+    channel layout follows ``large_size``; ``small_size`` only shapes the
+    conditioning input (upsampled inside the model)."""
+    del small_size  # conditioning resolution; no effect on parameters
+    channel_mult = _image_channel_mult(large_size)
+    attention_ds = tuple(large_size // int(r)
+                         for r in str(attention_resolutions).split(","))
+    return SuperResUNet(
+        in_channels=3,
+        model_channels=num_channels,
+        out_channels=(6 if learn_sigma else 3),
+        num_res_blocks=num_res_blocks,
+        attention_resolutions=attention_ds,
+        dropout=dropout,
+        channel_mult=channel_mult,
+        num_classes=(NUM_CLASSES if class_cond else None),
         num_heads=num_heads,
         num_heads_upsample=num_heads_upsample,
         use_scale_shift_norm=use_scale_shift_norm,

@@ -52,6 +52,7 @@ class TrainLoop:
         lr_anneal_steps: int = 0,
         schedule_sampler: Optional[ScheduleSampler] = None,
         input_key: str = "spectrogram",
+        cond_keys: Sequence[str] = (),
         preprocess: Optional[Callable] = None,
         seed: int = 0,
         async_save: bool = False,
@@ -72,6 +73,11 @@ class TrainLoop:
         self.schedule_sampler = schedule_sampler or UniformSampler(
             diffusion.num_timesteps)
         self.input_key = input_key
+        # conditioning arrays passed through to the model as kwargs —
+        # e.g. ("y",) for class-cond, ("low_res", "y") for super-res
+        # (the reference threads these as ``model_kwargs`` through
+        # ``training_losses``, ``train_util.py:191-229``)
+        self.cond_keys = tuple(cond_keys)
         self.preprocess = preprocess or (lambda x: x)
         self.async_save = async_save
         self.rng = np.random.default_rng(seed)
@@ -102,31 +108,35 @@ class TrainLoop:
         n_micro = self.batch_size // self.microbatch
         diffusion = self.diffusion
 
-        def loss_fn(params, x, t, weights, key):
+        def loss_fn(params, x, t, weights, key, cond):
             terms = diffusion.training_losses(
-                lambda xx, tt, **kw: self.model_apply(params, xx, tt),
+                lambda xx, tt, **kw: self.model_apply(params, xx, tt,
+                                                      **cond),
                 x, t, key)
             loss = (terms["loss"] * weights).mean()
             return loss, terms
 
-        def train_step(params, opt_state, ema_list, x, t, weights, key):
+        def train_step(params, opt_state, ema_list, x, t, weights, key,
+                       cond):
             # grad accumulation over microbatches (ref ``no_sync`` loop)
             xm = x.reshape(n_micro, self.microbatch, *x.shape[1:])
             tm = t.reshape(n_micro, self.microbatch)
             wm = weights.reshape(n_micro, self.microbatch)
+            cm = {k: v.reshape(n_micro, self.microbatch, *v.shape[1:])
+                  for k, v in cond.items()}
             keys = jax.random.split(key, n_micro)
 
             def micro(carry, inp):
                 gsum, lsum = carry
-                xi, ti, wi, ki = inp
+                xi, ti, wi, ki, ci = inp
                 (loss, terms), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params, xi, ti, wi, ki)
+                    loss_fn, has_aux=True)(params, xi, ti, wi, ki, ci)
                 gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
                 return (gsum, lsum + loss), terms["loss"]
 
             zero = jax.tree_util.tree_map(jnp.zeros_like, params)
             (gsum, lsum), per_sample = jax.lax.scan(
-                micro, (zero, jnp.asarray(0.0)), (xm, tm, wm, keys))
+                micro, (zero, jnp.asarray(0.0)), (xm, tm, wm, keys, cm))
             grads = jax.tree_util.tree_map(lambda g: g / n_micro, gsum)
 
             updates, opt_state = self.optimizer.update(grads, opt_state,
@@ -143,13 +153,14 @@ class TrainLoop:
     # ------------------------------------------------------------------
     def run_step(self, batch: Dict[str, Any]):
         x = jnp.asarray(self.preprocess(batch[self.input_key]))
+        cond = {k: jnp.asarray(batch[k]) for k in self.cond_keys}
         t_np, w_np = self.schedule_sampler.sample(x.shape[0], self.rng)
         self.key, sub = jax.random.split(self.key)
         (self.params, self.opt_state, self.ema_params, loss, per_sample,
          gnorm) = self._train_step(self.params, self.opt_state,
                                    self.ema_params, x,
                                    jnp.asarray(t_np), jnp.asarray(w_np),
-                                   sub)
+                                   sub, cond)
         self.schedule_sampler.update_with_all_losses(
             t_np, np.asarray(per_sample))
         logger.logkv_mean("loss", float(loss))

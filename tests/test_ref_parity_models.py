@@ -176,3 +176,43 @@ def test_unet_matches_reference():
     got = np.asarray(jnet.apply(variables, jnp.asarray(x),
                                 jnp.asarray(t.astype(np.float32))))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_superres_unet_matches_reference():
+    """SuperResModel parity: bilinear low-res conditioning concat
+    (ref ``unet.py:526-546``) including torch-vs-jax bilinear resize."""
+    from audiopure_tpu.models.unet import SuperResUNet
+    from audiopure_tpu.utils.torch_convert import (
+        convert_improved_diffusion_unet)
+
+    runet = _import_ref("diffusion_models.Improved_Diffusion_Unconditional."
+                        "improved_diffusion.unet")
+    CH, NRB, MULT, ATT, HEADS = 32, 1, (1, 2), (2,), 2
+    torch.manual_seed(4)
+    tnet = runet.SuperResModel(
+        in_channels=1, model_channels=CH, out_channels=1,
+        num_res_blocks=NRB, attention_resolutions=ATT, dropout=0.0,
+        channel_mult=MULT, num_heads=HEADS,
+        use_scale_shift_norm=True).eval()
+    with torch.no_grad():
+        for p in tnet.parameters():
+            if p.numel() and bool((p == 0).all()):
+                p.normal_(0, 0.05)
+    variables = convert_improved_diffusion_unet(
+        tnet.state_dict(), num_res_blocks=NRB, channel_mult=MULT,
+        attention_ds=ATT)
+    jnet = SuperResUNet(in_channels=1, model_channels=CH, out_channels=1,
+                        num_res_blocks=NRB, attention_resolutions=ATT,
+                        dropout=0.0, channel_mult=MULT, num_heads=HEADS)
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 1, 16, 16).astype(np.float32)
+    low = rng.randn(2, 1, 8, 8).astype(np.float32)
+    t = np.array([3, 17], dtype=np.int64)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x), torch.from_numpy(t),
+                    low_res=torch.from_numpy(low)).numpy()
+    got = np.asarray(jnet.apply(variables, jnp.asarray(x),
+                                jnp.asarray(t.astype(np.float32)),
+                                low_res=jnp.asarray(low)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
