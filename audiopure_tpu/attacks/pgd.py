@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from audiopure_tpu.attacks.eot import EOT
 from audiopure_tpu.attacks.losses import cross_entropy
+from audiopure_tpu.utils.jit_utils import hoisted_jit
 
 
 def lp_norm(x: jnp.ndarray, p: str) -> jnp.ndarray:
@@ -101,14 +102,26 @@ class AudioAttack:
                               chunk=eot_chunk, use_grad=True)
         self.eot_defense = EOT(model_fn, loss_fn, eot_defense_size,
                                chunk=eot_chunk, use_grad=False)
+        self._stage1_cache = {}
 
     # ------------------------------------------------------------------
     def _predict(self, x, y, key):
         scores, _, _, _ = self.eot_defense(x, y, key, use_grad=False)
         return jnp.argmax(scores, axis=-1)
 
-    @functools.partial(jax.jit, static_argnums=(0, 4))
     def _stage_1(self, x, y, key, targeted: bool):
+        """Whole stage-1 attack as ONE compiled program, with the model's
+        parameter trees hoisted to runtime arguments (``hoisted_jit``) —
+        without hoisting, the closed-over UNet/classifier weights inline
+        into the program as hundreds of MB of literals."""
+        jitted = self._stage1_cache.get(targeted)
+        if jitted is None:
+            jitted = hoisted_jit(
+                functools.partial(self._stage_1_impl, targeted=targeted))
+            self._stage1_cache[targeted] = jitted
+        return jitted(x, y, key)
+
+    def _stage_1_impl(self, x, y, key, targeted: bool):
         sign = -1.0 if targeted else 1.0
 
         def hit_mask(pred):

@@ -25,6 +25,7 @@ from scipy.stats import beta as beta_dist
 from scipy.stats import norm as norm_dist
 
 from audiopure_tpu.diffusion.ddpm import DDPMPurifier
+from audiopure_tpu.utils.jit_utils import hoisted_jit
 
 
 def clopper_pearson_lower(k: int, n: int, alpha: float = 1e-3) -> float:
@@ -56,6 +57,7 @@ class RobustCertificate:
         self.transform = transform
         self.denoiser = denoiser
         self.num_classes = num_classes
+        self._counts_cache = {}
 
     # -- single forward: denoise -> transform -> classify -------------------
     def forward(self, x: jnp.ndarray, t_star: int) -> jnp.ndarray:
@@ -75,9 +77,23 @@ class RobustCertificate:
         return int(np.argmin(np.abs(abar - alpha_bar_star))) + 1
 
     # -- counts of predicted classes over noise draws ------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
     def _counts(self, x, key, num_sampling: int, sigma: float,
                 t_star: int, batch_size: int = 64) -> jnp.ndarray:
+        """Dispatch to one hoisted-jit program per static config: the
+        classifier/eps-net weights ride as runtime parameters instead of
+        multi-hundred-MB program literals (see ``utils/jit_utils.py``)."""
+        skey = (int(num_sampling), float(sigma), int(t_star),
+                int(batch_size))
+        jitted = self._counts_cache.get(skey)
+        if jitted is None:
+            jitted = hoisted_jit(functools.partial(
+                self._counts_impl, num_sampling=num_sampling, sigma=sigma,
+                t_star=t_star, batch_size=batch_size))
+            self._counts_cache[skey] = jitted
+        return jitted(x, key)
+
+    def _counts_impl(self, x, key, num_sampling: int, sigma: float,
+                     t_star: int, batch_size: int = 64) -> jnp.ndarray:
         """x: (B, 1, L); returns (B, num_classes) histograms of predictions
         over ``num_sampling`` independent gaussian draws per example.
 

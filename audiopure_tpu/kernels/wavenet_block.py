@@ -488,7 +488,7 @@ def fused_residual_pair(
 
 
 @functools.partial(jax.jit, static_argnames=("dilation_cycle", "chunk_l",
-                                             "interpret"))
+                                             "interpret", "gate_dtype"))
 def fused_residual_stack(
     x: jnp.ndarray,          # (B, L, C) hidden state after init_conv
     t_biases: jnp.ndarray,   # (B, NL, C) per-layer timestep biases
@@ -501,6 +501,7 @@ def fused_residual_stack(
     dilation_cycle: int,
     chunk_l: int = 2000,
     interpret: bool = False,
+    gate_dtype=None,
 ) -> jnp.ndarray:
     """ALL residual layers in ONE kernel — the (L, C) state never leaves
     VMEM (v5).
@@ -584,8 +585,12 @@ def fused_residual_stack(
                     h = h + jnp.dot(taps[k], wd_ref[j, k],
                                     preferred_element_type=jnp.float32)
                 h = h + bd_ref[0, j].astype(jnp.float32)[None, :]
-                gate = (jnp.tanh(h[:, :C])
-                        * jax.nn.sigmoid(h[:, C:])).astype(dtype)
+                # gate_dtype=bf16 trades ~input-rounding error in the
+                # transcendentals for VPU throughput (perf experiment
+                # knob; None = f32, the parity default)
+                hg = h if gate_dtype is None else h.astype(gate_dtype)
+                gate = (jnp.tanh(hg[:, :C])
+                        * jax.nn.sigmoid(hg[:, C:])).astype(dtype)
                 res = jnp.dot(gate, wres_ref[j],
                               preferred_element_type=jnp.float32)
                 nxt[margin + s: margin + s + chunk_l] = (
@@ -645,7 +650,8 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
                            dtype=jnp.bfloat16,
                            tile_l: int = 1600,
                            block_impl: str = "v5",
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           gate_dtype=None) -> jnp.ndarray:
     """Full WaveNet forward using the fused block for every residual layer.
 
     Takes the SAME flax param tree as ``models.wavenet.WaveNet`` (both conv
@@ -686,7 +692,7 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
             stack(lambda bp: bp["skip_conv"]["kernel"][0].astype(dtype)),
             stack(lambda bp: bp["skip_conv"]["bias"]),
             dilation_cycle=dilation_cycle, chunk_l=chunk,
-            interpret=interpret)
+            interpret=interpret, gate_dtype=gate_dtype)
         out = skip_sum.astype(jnp.float32) * math.sqrt(1.0 / num_res_layers)
         out = jax.nn.relu(
             jnp.einsum("blc,kco->blo", out, p["final_conv1"]["kernel"])

@@ -90,9 +90,11 @@ def main():
         mesh = make_mesh(jax.devices()[:DP], dp=DP, tp=1)
         x = jax.device_put(x, batch_sharding(mesh, ndim=3))
 
-    @jax.jit
-    def purify_and_classify(x, key):
-        return system(x, key=key)
+    # hoisted_jit: weights become XLA parameters instead of hundreds of
+    # MB of program literals -> much faster remote compiles (jit_utils)
+    from audiopure_tpu.utils.jit_utils import hoisted_jit
+
+    purify_and_classify = hoisted_jit(lambda x, key: system(x, key=key))
 
     # warm-up / compile; if the pallas path hits a flaky remote-compile
     # failure, fall back to the XLA conv path rather than record nothing
@@ -109,11 +111,8 @@ def main():
         defender = RevDiffWave(eps_fn, T=200, t=REVERSE_T, sample_step=1,
                                remat=False)
         system = AcousticSystem(classifier, fe, defender, "wave")
-
-        @jax.jit
-        def purify_and_classify(x, key):  # noqa: F811
-            return system(x, key=key)
-
+        purify_and_classify = hoisted_jit(  # noqa: F811
+            lambda x, key: system(x, key=key))
         purify_and_classify(x, k)[0].block_until_ready()
 
     t0 = time.perf_counter()

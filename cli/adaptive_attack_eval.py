@@ -140,11 +140,13 @@ def main(argv=None):
         num_per_class=args.num_per_class)
     loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=False)
 
-    predict_clean = jax.jit(lambda x: jnp.argmax(
+    from audiopure_tpu.utils.jit_utils import hoisted_jit
+
+    predict_clean = hoisted_jit(lambda x: jnp.argmax(
         system(x, defend=False), -1))
-    purify = jax.jit(lambda x, k: system.defender(x, k)
-                     if system.defender_stochastic
-                     else system.defender(x)) \
+    purify = hoisted_jit(lambda x, k: system.defender(x, k)
+                         if system.defender_stochastic
+                         else system.defender(x)) \
         if system.defender is not None else None
 
     key = jax.random.PRNGKey(args.seed)

@@ -71,11 +71,13 @@ def main(argv=None):
             x_T = jax.random.normal(k0, shape, dtype=jnp.float32)
             return sampler.fast_reverse(x_T, k1, K=args.fast)
 
-        sample_jit = jax.jit(_fast)
+        from audiopure_tpu.utils.jit_utils import hoisted_jit
+        sample_jit = hoisted_jit(_fast)
     else:
         print(f"begin sampling, total number of reverse steps = "
               f"{cfg.diffusion.T}")
-        sample_jit = jax.jit(lambda k: sampler.sample(k, shape))
+        from audiopure_tpu.utils.jit_utils import hoisted_jit
+        sample_jit = hoisted_jit(lambda k: sampler.sample(k, shape))
     sample_jit(jax.random.PRNGKey(99))[0].block_until_ready()  # compile
 
     t0 = time.perf_counter()

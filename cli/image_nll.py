@@ -52,7 +52,9 @@ def main(argv=None):
 
     clip = not args.no_clip_denoised
 
-    @jax.jit
+    from audiopure_tpu.utils.jit_utils import hoisted_jit
+
+    @hoisted_jit
     def bpd_batch(x, y, key):
         model = lambda xx, tt, **kw: net.apply(params, xx, tt, **kw)
         kwargs = {"y": y} if args.class_cond else {}

@@ -76,7 +76,9 @@ def main(argv=None):
             split=args.split)
         loader = DataLoader(dataset, batch_size=args.batch_size)
 
-    predict_clean = jax.jit(lambda x: jnp.argmax(
+    from audiopure_tpu.utils.jit_utils import hoisted_jit
+
+    predict_clean = hoisted_jit(lambda x: jnp.argmax(
         system(x, defend=False), -1))
     _, x_sharding, y_sharding = make_eval_sharding(args)
     key = jax.random.PRNGKey(args.seed)

@@ -89,7 +89,8 @@ def main(argv=None):
         sample = jnp.clip((sample + 1) * 127.5, 0, 255).astype(jnp.uint8)
         return jnp.transpose(sample, (0, 2, 3, 1))
 
-    sample_jit = jax.jit(sample_batch)
+    from audiopure_tpu.utils.jit_utils import hoisted_jit
+    sample_jit = hoisted_jit(sample_batch)
 
     logger.log("creating samples...")
     key = jax.random.PRNGKey(args.seed)

@@ -59,7 +59,9 @@ def main(argv=None):
                         mode="edge")
         return jnp.concatenate([spec, crops], axis=0)
 
-    @jax.jit
+    from audiopure_tpu.utils.jit_utils import hoisted_jit
+
+    @hoisted_jit
     def predict(x):
         inp = x if fe is None else fe(x)
         if args.multi_crop and fe is not None:

@@ -55,8 +55,11 @@ def main(argv=None):
     loader = DataLoader(dataset, batch_size=args.batch_size)
 
     key = jax.random.PRNGKey(args.seed)
-    surrogate_jit = jax.jit(lambda x, k: jnp.argmax(surrogate_fn(x, k), -1))
-    victim_jit = jax.jit(lambda x, k: jnp.argmax(victim_fn(x, k), -1))
+    from audiopure_tpu.utils.jit_utils import hoisted_jit
+
+    surrogate_jit = hoisted_jit(
+        lambda x, k: jnp.argmax(surrogate_fn(x, k), -1))
+    victim_jit = hoisted_jit(lambda x, k: jnp.argmax(victim_fn(x, k), -1))
     _, x_sharding, y_sharding = make_eval_sharding(args)
 
     stolen = correct_clean = correct_robust = total = 0

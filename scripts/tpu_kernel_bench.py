@@ -57,13 +57,16 @@ def main():
         p, xx, tt, block_impl="v4"))
     fwd_v5 = jax.jit(lambda p, xx, tt: wavenet_forward_pallas(
         p, xx, tt, block_impl="v5"))
+    # v6 experiment: v5 with bf16 gate transcendentals (VPU throughput)
+    fwd_v6 = jax.jit(lambda p, xx, tt: wavenet_forward_pallas(
+        p, xx, tt, block_impl="v5", gate_dtype=jnp.bfloat16))
 
     # ---- correctness at full size --------------------------------------
     print("compiling + checking numerics ...", flush=True)
     import numpy as np
     ref = np.asarray(fwd_xla(params, x, t), dtype=np.float32)
     for name, fn in [("v2", fwd_v2), ("v3", fwd_v3), ("v4", fwd_v4),
-                     ("v5", fwd_v5)]:
+                     ("v5", fwd_v5), ("v6_bf16gate", fwd_v6)]:
         out = np.asarray(fn(params, x, t), dtype=np.float32)
         scale = np.abs(ref).max()
         max_abs = np.abs(out - ref).max()
@@ -90,13 +93,17 @@ def main():
 
     results = {}
     for name, fn in [("xla", fwd_xla), ("v2", fwd_v2), ("v3", fwd_v3),
-                     ("v4", fwd_v4), ("v5", fwd_v5), *sweeps]:
+                     ("v4", fwd_v4), ("v5", fwd_v5),
+                     ("v6_bf16gate", fwd_v6), *sweeps]:
         cf = chain(fn)
-        cf(params, x, t).block_until_ready()  # compile
+        # device->host materialisation as the completion barrier:
+        # block_until_ready has been seen returning early through the
+        # remote-execution tunnel (docs/BENCH.md EOT note)
+        float(jnp.abs(cf(params, x, t)).sum())  # compile + warm
         best = float("inf")
         for _ in range(REPS):
             t0 = time.perf_counter()
-            cf(params, x, t).block_until_ready()
+            float(jnp.abs(cf(params, x, t)).sum())
             best = min(best, time.perf_counter() - t0)
         ms = best * 1e3 / CHAIN
         tflops = TFLOP_PER_FWD * BATCH / (ms / 1e3)
