@@ -676,6 +676,15 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
     L = x.shape[1]
 
     if block_impl == "v5" and num_res_layers % dilation_cycle == 0:
+        # VMEM budget guard: the layer-resident state scales with L
+        # (ping-pong (2*margin+L, C) + skip + in/out blocks ~= 104 MB at
+        # L=16000, plus ~13 MB cycle weights). Longer audio (e.g. the
+        # 1.5 s KWS buckets) blows the 128 MB ceiling — measured OOM:
+        # "Used 160.59M of 128.00M" at L=24000 — so fall back to v4.
+        est_mb = 104.0 * L / 16000.0 + 13.0
+        if est_mb > 118.0:
+            block_impl = "v4"
+    if block_impl == "v5" and num_res_layers % dilation_cycle == 0:
         chunk = next(c for c in (2000, 2048, 1600, 1024, 1000, 800, 512,
                                  400, 256, 128, L) if L % c == 0)
         blocks = [p[f"res_block_{n}"] for n in range(num_res_layers)]

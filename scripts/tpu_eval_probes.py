@@ -19,14 +19,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
 
-def timeit(fn, *args, reps=3):
+def _materialize(out):
+    # device->host transfer as the completion barrier: through the
+    # remote-execution tunnel block_until_ready can return before the
+    # program finishes (CLAUDE.md / docs/BENCH.md); outputs here are
+    # small (<1 MB) so transfer cost is negligible
+    import numpy as np
+
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(leaf)
+
+
+def timeit(fn, *args, reps=3):
+    _materialize(fn(*args))  # compile + warm
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _materialize(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 

@@ -274,3 +274,20 @@ def test_wavenet_pallas_grad_matches_xla_autodiff():
         np.testing.assert_allclose(np.asarray(flat2[k]),
                                    np.asarray(flat1[k]), atol=1e-3,
                                    rtol=1e-3, err_msg=str(k))
+
+
+def test_v5_long_audio_falls_back_within_vmem():
+    """L beyond the layer-resident VMEM budget must not OOM: the v5 path
+    auto-falls back to v4 (measured on-chip OOM at L=24000: 160.59M of
+    128M). Correctness of the fallback checked against flax."""
+    net = WaveNet(res_channels=16, skip_channels=16, num_res_layers=12,
+                  dtype=jnp.float32)
+    L = 24000
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, L)) * 0.3
+    t = jnp.full((1, 1), 5.0)
+    params = net.init(jax.random.PRNGKey(1), x, t)
+    want = np.asarray(net.apply(params, x, t))
+    got = np.asarray(wavenet_forward_pallas(
+        params, x, t, num_res_layers=12, dtype=jnp.float32,
+        block_impl="v5", interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
