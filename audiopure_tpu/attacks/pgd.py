@@ -83,6 +83,7 @@ class AudioAttack:
         clip_max: float = 1.0,
         masker=None,
         stage2_kwargs: Optional[dict] = None,
+        predict_model_fn: Optional[Callable] = None,
     ):
         self.model_fn = model_fn
         self.loss_fn = loss_fn
@@ -100,8 +101,13 @@ class AudioAttack:
 
         self.eot_attack = EOT(model_fn, loss_fn, eot_attack_size,
                               chunk=eot_chunk, use_grad=True)
-        self.eot_defense = EOT(model_fn, loss_fn, eot_defense_size,
-                               chunk=eot_chunk, use_grad=False)
+        # the prediction pass never differentiates, so callers may supply
+        # a value-identical but faster forward (e.g. the forward-only
+        # fused kernel when model_fn uses the custom-VJP grad path);
+        # the reference uses one module for both passes — values match
+        self.eot_defense = EOT(predict_model_fn or model_fn, loss_fn,
+                               eot_defense_size, chunk=eot_chunk,
+                               use_grad=False)
         self._stage1_cache = {}
 
     # ------------------------------------------------------------------

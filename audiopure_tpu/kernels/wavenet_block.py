@@ -587,10 +587,17 @@ def fused_residual_stack(
                 h = h + bd_ref[0, j].astype(jnp.float32)[None, :]
                 # gate_dtype=bf16 trades ~input-rounding error in the
                 # transcendentals for VPU throughput (perf experiment
-                # knob; None = f32, the parity default)
-                hg = h if gate_dtype is None else h.astype(gate_dtype)
-                gate = (jnp.tanh(hg[:, :C])
-                        * jax.nn.sigmoid(hg[:, C:])).astype(dtype)
+                # knob; None = f32, the parity default). sigmoid is
+                # expressed via tanh: Mosaic's bf16 logistic lowering
+                # trips an f32->bf16 vector.broadcast verification bug.
+                if gate_dtype is None:
+                    gate = (jnp.tanh(h[:, :C])
+                            * jax.nn.sigmoid(h[:, C:])).astype(dtype)
+                else:
+                    hg = h.astype(gate_dtype)
+                    sig = jnp.tanh(hg[:, C:] * gate_dtype(0.5)) \
+                        * gate_dtype(0.5) + gate_dtype(0.5)
+                    gate = (jnp.tanh(hg[:, :C]) * sig).astype(dtype)
                 res = jnp.dot(gate, wres_ref[j],
                               preferred_element_type=jnp.float32)
                 nxt[margin + s: margin + s + chunk_l] = (

@@ -52,7 +52,7 @@ def add_attack_args(parser):
                         "attacked batch (view in TensorBoard/XProf)")
 
 
-def build_attacker(args, model_fn):
+def build_attacker(args, model_fn, predict_model_fn=None):
     if args.attack == "PGD":
         from audiopure_tpu.attacks import AudioAttack
         from audiopure_tpu.attacks.masker import PsychoacousticMasker
@@ -65,7 +65,8 @@ def build_attacker(args, model_fn):
             eot_attack_size=args.eot_attack_size,
             eot_defense_size=args.eot_defense_size,
             eot_chunk=args.eot_batch_size,
-            masker=PsychoacousticMasker() if args.max_iter_2 > 0 else None)
+            masker=PsychoacousticMasker() if args.max_iter_2 > 0 else None,
+            predict_model_fn=predict_model_fn)
         print(f"attack: PGD with {args.bound_norm}_eps={args.eps} & "
               f"iter={args.max_iter_1} & "
               f"eot={args.eot_attack_size}-{args.eot_defense_size}\n")
@@ -131,7 +132,19 @@ def main(argv=None):
 
     system = build_system(args)
     model_fn = system_model_fn(system)
-    attacker = build_attacker(args, model_fn)
+    # grad_mode='full' routes the eps-net through the custom-VJP grad
+    # kernel; the attack's *prediction* pass never differentiates, so
+    # build a value-identical grad_mode='ref' system (forward-only fused
+    # kernel) for it — same weights, same outputs, faster forward
+    predict_fn = None
+    if getattr(args, "grad_mode", "ref") == "full" \
+            and args.attack == "PGD" \
+            and args.defense in ("Diffusion", "DiffSpec"):
+        import copy
+        ref_args = copy.copy(args)
+        ref_args.grad_mode = "ref"
+        predict_fn = system_model_fn(build_system(ref_args))
+    attacker = build_attacker(args, model_fn, predict_fn)
     _, x_sharding, y_sharding = make_eval_sharding(args)
 
     dataset = SC09Dataset(

@@ -163,8 +163,15 @@ def main():
             dfn = RevDiffWave(efn, T=200, t=3, grad_mode="full", remat=True)
             sys_f = AcousticSystem(classifier, fe, dfn, "wave",
                                    defender_stochastic=True)
+            # value-identical forward-only system for the prediction pass
+            # (the CLI does the same when grad_mode='full')
+            dfn_ref = RevDiffWave(eps_pallas, T=200, t=3, grad_mode="ref")
+            sys_p = AcousticSystem(classifier, fe, dfn_ref, "wave",
+                                   defender_stochastic=True)
             atkf = AudioAttack(lambda xx, kk: sys_f(xx, key=kk), eps=0.002,
-                               max_iter_1=ITR, learning_rate_1=0.0004)
+                               max_iter_1=ITR, learning_rate_1=0.0004,
+                               predict_model_fn=lambda xx, kk: sys_p(
+                                   xx, key=kk))
             t = timeit(
                 lambda: atkf.generate(xf, yf, jax.random.PRNGKey(11))[0])
             return dict(ms_per_pgd_iter=round(t * 1e3 / ITR, 1),

@@ -128,3 +128,35 @@ def test_majority_vote():
     decisions = jnp.asarray([[0, 1], [0, 2], [1, 2], [0, 2]])
     got = np.asarray(majority_vote(decisions, 3))
     np.testing.assert_array_equal(got, [0, 2])
+
+
+def test_predict_model_fn_value_identical():
+    """A value-identical predict_model_fn must not change the attack
+    output (the CLI uses a forward-only eps-net for the prediction pass
+    when grad_mode='full')."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiopure_tpu.attacks import AudioAttack
+
+    proj = jax.random.normal(jax.random.PRNGKey(0), (64, 4))
+
+    def model_fn(x, key):
+        h = jnp.tanh(x[:, 0, :64] @ proj)
+        return h + 0.01 * jax.random.normal(key, h.shape)
+
+    # same values, different callable (wrapped with stop_gradient, as a
+    # grad_mode='ref' system would be)
+    predict_fn = lambda x, key: jax.lax.stop_gradient(model_fn(x, key))
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 1, 100)) * 0.1
+    y = jnp.zeros((3,), jnp.int32)
+    a1 = AudioAttack(model_fn, eps=0.01, max_iter_1=4)
+    a2 = AudioAttack(model_fn, eps=0.01, max_iter_1=4,
+                     predict_model_fn=predict_fn)
+    out1 = a1.generate(x, y, jax.random.PRNGKey(2))
+    out2 = a2.generate(x, y, jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out2[0]))
+    np.testing.assert_array_equal(np.asarray(out1[1][0]),
+                                  np.asarray(out2[1][0]))
