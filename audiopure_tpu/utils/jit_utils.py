@@ -79,7 +79,15 @@ class hoisted_jit:
 
         closed = jax.make_jaxpr(flat_fn)(*flat)
         out_tree = store["out_tree"]
-        jaxpr, consts = closed.jaxpr, list(closed.consts)
+        jaxpr = closed.jaxpr
+        # commit every hoisted constant to device ONCE: host-side (numpy)
+        # consts would otherwise be re-transferred on every dispatch —
+        # catastrophic through a remote-device tunnel (measured 37x
+        # end-to-end slowdown before this device_put)
+        import numpy as np
+        consts = [c if isinstance(c, jax.Array)
+                  else jax.device_put(np.asarray(c))
+                  for c in closed.consts]
 
         @jax.jit
         def run(consts, flat_args):
