@@ -1,0 +1,406 @@
+"""Whole-net differentiable WaveNet stack: v5 forward + layer-resident
+backward (input/t-bias gradients).
+
+The per-layer custom-VJP path (``wavenet_block_grad.py``) recomputes each
+block's forward in XLA shifted-matmul form during the backward — measured
+~9x the ref-contract attack cost per PGD iteration.  This module brings
+the backward onto the same layer-resident design as the v5 forward
+(``wavenet_block.py::fused_residual_stack``):
+
+* forward — the v5 whole-net kernel, additionally streaming each layer's
+  gate *pre-activation* ``h`` (L, 2C bf16) to HBM with async DMA (the
+  only residual the backward needs; +2 MB VMEM, +~2.4 GB HBM at B=4);
+* backward — ONE kernel, mirror image of v5: the cotangent state
+  ``dx`` lives in VMEM ping-pong buffers, cycles stream in REVERSE, each
+  layer recomputes only the elementwise tanh/sigmoid from the stored
+  ``h`` and back-propagates with in-VMEM transposed-tap contractions
+  (dh is staged layer-resident so the transposed conv reads are static
+  slices — no conv_transpose, no halo recompute).
+
+Gradient contract (attack mode): cotangents are produced for the audio
+path (``x``) and the per-layer timestep biases; WEIGHT cotangents are
+ZERO by design — ``grad_mode='full'`` differentiates the attack loss
+w.r.t. the waveform, never the parameters (training uses the per-layer
+VJP or XLA autodiff).  Reference semantics preserved: zero conv padding
+beyond [0, L) stays bias-free, and the residual adds the *biased* input
+(ref ``WaveNet.py:78-97`` in-place quirk), as in v3/v4/v5.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from audiopure_tpu.kernels.wavenet_block import _halo
+
+SQRT_HALF = math.sqrt(0.5)
+
+
+# ---------------------------------------------------------------------------
+# forward: v5 body + h streaming
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("dilation_cycle", "chunk_l",
+                                             "interpret"))
+def fused_residual_stack_save_h(x, t_biases, wd, bd, wres, bres, wskip,
+                                bskip, dilation_cycle: int,
+                                chunk_l: int = 2000,
+                                interpret: bool = False):
+    """Returns (skip_sum (B, L, Cs), h_all (B, NL, L, 2C) in ``x.dtype``)."""
+    B, L, C = x.shape
+    NL, _, _, C2 = wd.shape
+    skip_ch = wskip.shape[-1]
+    dtype = x.dtype
+    assert NL % dilation_cycle == 0, (NL, dilation_cycle)
+    assert L % chunk_l == 0, (L, chunk_l)
+    n_cycles = NL // dilation_cycle
+    margin = _halo(2 ** (dilation_cycle - 1))
+    rows = margin + L + margin
+    grid = (B, n_cycles)
+    cyc = dilation_cycle
+
+    def wspec(*s):
+        return pl.BlockSpec((cyc, *s), lambda b, c: (c,) + (0,) * len(s),
+                            memory_space=pltpu.VMEM)
+
+    def bspec(dim):
+        return pl.BlockSpec((1, cyc, dim), lambda b, c: (c, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(x_ref, tb_ref, wd_ref, bd_ref, wres_ref, bres_ref,
+               wsk_ref, bsk_ref, out_ref, h_all, xa, xb, skip, hbuf,
+               hsem):
+        b = pl.program_id(0)
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _init():
+            xa[:margin] = jnp.zeros((margin, C), dtype)
+            xa[margin + L:] = jnp.zeros((margin, C), dtype)
+            xb[:margin] = jnp.zeros((margin, C), dtype)
+            xb[margin + L:] = jnp.zeros((margin, C), dtype)
+            xa[margin: margin + L] = x_ref[0]
+            skip[:] = jnp.zeros((L, skip_ch), dtype)
+
+        for j in range(cyc):
+            d = 2 ** j
+            cur, nxt = (xa, xb) if j % 2 == 0 else (xb, xa)
+            bias = tb_ref[0, 0, j].astype(dtype)
+            for s in range(0, L, chunk_l):
+                taps = []
+                for k in range(3):
+                    off = (k - 1) * d
+                    sl = cur[margin + s + off: margin + s + off + chunk_l]
+                    if 0 <= s + off and s + off + chunk_l <= L:
+                        taps.append(sl + bias)
+                    else:
+                        row = jax.lax.broadcasted_iota(
+                            jnp.int32, (chunk_l, 1), 0)
+                        g = s + off + row
+                        valid = jnp.logical_and(g >= 0, g < L)
+                        taps.append(jnp.where(valid, sl + bias,
+                                              jnp.zeros((), dtype)))
+                h = jnp.zeros((chunk_l, C2), dtype=jnp.float32)
+                for k in range(3):
+                    h = h + jnp.dot(taps[k], wd_ref[j, k],
+                                    preferred_element_type=jnp.float32)
+                h = h + bd_ref[0, j].astype(jnp.float32)[None, :]
+                # stream the pre-activation to HBM (sync DMA: ~2 MB per
+                # chunk, trivially small next to the chunk's MXU work)
+                hbuf[:] = h.astype(dtype)
+                dma = pltpu.make_async_copy(
+                    hbuf, h_all.at[b, c * cyc + j, pl.ds(s, chunk_l), :],
+                    hsem)
+                dma.start()
+                dma.wait()
+                gate = (jnp.tanh(h[:, :C])
+                        * jax.nn.sigmoid(h[:, C:])).astype(dtype)
+                res = jnp.dot(gate, wres_ref[j],
+                              preferred_element_type=jnp.float32)
+                nxt[margin + s: margin + s + chunk_l] = (
+                    (taps[1].astype(jnp.float32) + res
+                     + bres_ref[0, j].astype(jnp.float32)[None, :])
+                    * SQRT_HALF).astype(dtype)
+                skip[s: s + chunk_l] = (
+                    skip[s: s + chunk_l].astype(jnp.float32)
+                    + jnp.dot(gate, wsk_ref[j],
+                              preferred_element_type=jnp.float32)
+                    + bsk_ref[0, j].astype(jnp.float32)[None, :]
+                ).astype(dtype)
+        if cyc % 2 == 1:
+            xa[margin: margin + L] = xb[margin: margin + L]
+
+        @pl.when(c == n_cycles - 1)
+        def _out():
+            out_ref[0] = skip[:].astype(out_ref.dtype)
+
+    skip_out, h_all = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, L, C), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((1, 1, cyc, C), lambda b, c: (b, c, 0, 0)),
+            wspec(3, C, C2), bspec(C2), wspec(C, C), bspec(C),
+            wspec(C, skip_ch), bspec(skip_ch),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L, skip_ch), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, skip_ch), dtype),
+            jax.ShapeDtypeStruct((B, NL, L, C2), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, C), dtype),           # xa
+            pltpu.VMEM((rows, C), dtype),           # xb
+            pltpu.VMEM((L, skip_ch), dtype),        # skip accumulator
+            pltpu.VMEM((chunk_l, C2), dtype),       # h staging buffer
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=123 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, t_biases.reshape(B, n_cycles, cyc, C), wd,
+      bd.reshape(n_cycles, cyc, C2), wres, bres.reshape(n_cycles, cyc, C),
+      wskip, bskip.reshape(n_cycles, cyc, skip_ch))
+    return skip_out, h_all
+
+
+# ---------------------------------------------------------------------------
+# backward: layer-resident transposed stack
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("dilation_cycle", "chunk_l",
+                                             "interpret"))
+def fused_residual_stack_bwd(g_skip, h_all, wd, wres, wskip,
+                             dilation_cycle: int, chunk_l: int = 2000,
+                             interpret: bool = False):
+    """Backward of :func:`fused_residual_stack_save_h` w.r.t. the input
+    state and per-layer biases.
+
+    g_skip: (B, L, Cs) cotangent of the skip sum;
+    returns (dx (B, L, C), g_tbias (B, NL, C)).
+    """
+    B, NL, L, C2 = h_all.shape
+    C = wd.shape[2]
+    skip_ch = wskip.shape[-1]
+    dtype = h_all.dtype
+    n_cycles = NL // dilation_cycle
+    margin = _halo(2 ** (dilation_cycle - 1))
+    rows = margin + L + margin
+    grid = (B, n_cycles)
+    cyc = dilation_cycle
+
+    # weights stream per REVERSED cycle
+    def wspec(*s):
+        return pl.BlockSpec(
+            (cyc, *s), lambda b, c: (n_cycles - 1 - c,) + (0,) * len(s),
+            memory_space=pltpu.VMEM)
+
+    def kernel(gs_ref, h_all_ref, wd_ref, wres_ref, wsk_ref, dx_ref,
+               gtb_ref, dxa, dxb, dhf, hbuf, hsem):
+        b = pl.program_id(0)
+        c = pl.program_id(1)          # grid step; actual cycle reversed
+
+        @pl.when(c == 0)
+        def _init():
+            # dx_{NL} = 0: the final hidden state is discarded by the head
+            dxa[:] = jnp.zeros((rows, C), dtype)
+            dxb[:] = jnp.zeros((rows, C), dtype)
+            # dh margins are the transposed-conv zero padding
+            dhf[:margin] = jnp.zeros((margin, C2), dtype)
+            dhf[margin + L:] = jnp.zeros((margin, C2), dtype)
+
+        n_swaps = 0
+        for j in reversed(range(cyc)):
+            d = 2 ** j
+            cur, nxt = (dxa, dxb) if n_swaps % 2 == 0 else (dxb, dxa)
+            n_swaps += 1
+            gtb_acc = jnp.zeros((1, C), jnp.float32)
+            # pass 1: dgate -> dh, staged layer-resident
+            for s in range(0, L, chunk_l):
+                dma = pltpu.make_async_copy(
+                    h_all_ref.at[b, (n_cycles - 1 - c) * cyc + j,
+                                 pl.ds(s, chunk_l), :],
+                    hbuf, hsem)
+                dma.start()
+                g_next = cur[margin + s: margin + s + chunk_l]
+                g_res = g_next.astype(jnp.float32) * SQRT_HALF
+                dgate = jax.lax.dot_general(
+                    g_res.astype(dtype), wres_ref[j],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dgate = dgate + jax.lax.dot_general(
+                    gs_ref[0, s: s + chunk_l], wsk_ref[j],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dma.wait()
+                hh = hbuf[:].astype(jnp.float32)
+                t = jnp.tanh(hh[:, :C])
+                sg = jax.nn.sigmoid(hh[:, C:])
+                dh1 = dgate * sg * (1.0 - t * t)
+                dh2 = dgate * t * sg * (1.0 - sg)
+                dhf[margin + s: margin + s + chunk_l] = jnp.concatenate(
+                    [dh1, dh2], axis=-1).astype(dtype)
+            # pass 2: transposed taps + residual path
+            for s in range(0, L, chunk_l):
+                acc = jnp.zeros((chunk_l, C), jnp.float32)
+                for k in range(3):
+                    off = (1 - k) * d     # dxb[m] += dh[m-(k-1)d] @ wd^T
+                    sl = dhf[margin + s + off:
+                             margin + s + off + chunk_l]
+                    acc = acc + jax.lax.dot_general(
+                        sl, wd_ref[j, k], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                g_next = cur[margin + s: margin + s + chunk_l]
+                dxbv = acc + g_next.astype(jnp.float32) * SQRT_HALF
+                nxt[margin + s: margin + s + chunk_l] = dxbv.astype(dtype)
+                gtb_acc = gtb_acc + jnp.sum(dxbv, axis=0, keepdims=True)
+            gtb_ref[0, 0, j] = gtb_acc[0].astype(gtb_ref.dtype)
+        if cyc % 2 == 1:
+            # odd cycle length: bring the state back to dxa so every grid
+            # step starts from dxa (mirrors the v5 forward)
+            dxa[margin: margin + L] = dxb[margin: margin + L]
+
+        @pl.when(c == n_cycles - 1)
+        def _out():
+            # even cyc ends in dxa (last swap writes nxt=dxa); odd cyc is
+            # copied back above — either way dxa holds the state
+            dx_ref[0] = dxa[margin: margin + L]
+
+    dx, gtb = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, L, skip_ch), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            wspec(3, C, C2), wspec(C, C), wspec(C, skip_ch),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L, C), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((1, 1, cyc, C),
+                         lambda b, c: (b, n_cycles - 1 - c, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, C), dtype),
+            jax.ShapeDtypeStruct((B, n_cycles, cyc, C), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, C), dtype),            # dxa
+            pltpu.VMEM((rows, C), dtype),            # dxb
+            pltpu.VMEM((rows, C2), dtype),           # dh layer-resident
+            pltpu.VMEM((chunk_l, C2), dtype),        # h staging
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=123 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(g_skip, h_all, wd, wres, wskip)
+    return dx, gtb.reshape(B, NL, C)
+
+
+# ---------------------------------------------------------------------------
+# custom VJP stack (input/t-bias grads; weight grads zero by contract)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def fused_stack_input_grad(x, t_biases, wd, bd, wres, bres, wskip, bskip,
+                           dilation_cycle: int, chunk_l: int = 2000,
+                           interpret: bool = False):
+    """skip_sum with gradients w.r.t. ``x`` and ``t_biases`` ONLY (the
+    adaptive-attack contract); weight/bias cotangents are zero."""
+    from audiopure_tpu.kernels.wavenet_block import fused_residual_stack
+
+    return fused_residual_stack(x, t_biases, wd, bd, wres, bres, wskip,
+                                bskip, dilation_cycle=dilation_cycle,
+                                chunk_l=chunk_l, interpret=interpret)
+
+
+def _fsig_fwd(x, t_biases, wd, bd, wres, bres, wskip, bskip,
+              dilation_cycle, chunk_l, interpret):
+    skip, h_all = fused_residual_stack_save_h(
+        x, t_biases, wd, bd, wres, bres, wskip, bskip,
+        dilation_cycle=dilation_cycle, chunk_l=chunk_l,
+        interpret=interpret)
+    return skip, (h_all, wd, wres, wskip,
+                  (t_biases, bd, bres, bskip))
+
+
+def _fsig_bwd(dilation_cycle, chunk_l, interpret, res, g_skip):
+    h_all, wd, wres, wskip, (t_biases, bd, bres, bskip) = res
+    dx, gtb = fused_residual_stack_bwd(
+        g_skip.astype(h_all.dtype), h_all, wd, wres, wskip,
+        dilation_cycle=dilation_cycle, chunk_l=chunk_l,
+        interpret=interpret)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like,
+                                   (wd, bd, wres, bres, wskip, bskip))
+    g_wd, g_bd, g_wres, g_bres, g_wskip, g_bskip = zeros
+    return (dx, gtb.astype(t_biases.dtype), g_wd, g_bd, g_wres, g_bres,
+            g_wskip, g_bskip)
+
+
+fused_stack_input_grad.defvjp(_fsig_fwd, _fsig_bwd)
+
+
+def wavenet_forward_pallas_input_grad(params, audio, diffusion_steps, *,
+                                      num_res_layers: int = 36,
+                                      dilation_cycle: int = 12,
+                                      embed_dim_in: int = 128,
+                                      dtype=jnp.bfloat16,
+                                      interpret=None):
+    """Full WaveNet forward on the v5 whole-net kernel, differentiable
+    w.r.t. the AUDIO (and timestep) path — the ``grad_mode='full'``
+    attack contract.  Same param tree / outputs as
+    ``wavenet_forward_pallas``; weight gradients are zero (use the
+    per-layer VJP or XLA autodiff for training)."""
+    from audiopure_tpu.diffusion.schedule import diffusion_step_embedding
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    p = params["params"]
+    x = jnp.swapaxes(audio, 1, 2).astype(dtype)
+    B, L, _ = x.shape
+
+    emb = diffusion_step_embedding(diffusion_steps, embed_dim_in)
+    emb = emb @ p["fc_t1"]["kernel"] + p["fc_t1"]["bias"]
+    emb = emb * jax.nn.sigmoid(emb)
+    emb = emb @ p["fc_t2"]["kernel"] + p["fc_t2"]["bias"]
+    emb = emb * jax.nn.sigmoid(emb)
+
+    h = jax.nn.relu(
+        jnp.einsum("blc,kco->blo", x, p["init_conv"]["kernel"].astype(dtype))
+        + p["init_conv"]["bias"].astype(dtype))
+
+    blocks = [p[f"res_block_{n}"] for n in range(num_res_layers)]
+    t_biases = jnp.stack(
+        [(emb @ bp["fc_t"]["kernel"] + bp["fc_t"]["bias"]) for bp in
+         blocks], axis=1).astype(dtype)
+    stack = lambda f: jnp.stack([f(bp) for bp in blocks])
+    chunk = next(c for c in (2000, 2048, 1600, 1024, 1000, 800, 512,
+                             400, 256, 128, L) if L % c == 0)
+    skip_sum = fused_stack_input_grad(
+        h, t_biases,
+        stack(lambda bp: bp["dilated_conv"]["kernel"].astype(dtype)),
+        stack(lambda bp: bp["dilated_conv"]["bias"]),
+        stack(lambda bp: bp["res_conv"]["kernel"][0].astype(dtype)),
+        stack(lambda bp: bp["res_conv"]["bias"]),
+        stack(lambda bp: bp["skip_conv"]["kernel"][0].astype(dtype)),
+        stack(lambda bp: bp["skip_conv"]["bias"]),
+        dilation_cycle, chunk, interpret)
+    out = skip_sum.astype(jnp.float32) * math.sqrt(1.0 / num_res_layers)
+    out = jax.nn.relu(
+        jnp.einsum("blc,kco->blo", out, p["final_conv1"]["kernel"])
+        + p["final_conv1"]["bias"])
+    out = (jnp.einsum("blc,kco->blo", out, p["final_conv2"]["kernel"])
+           + p["final_conv2"]["bias"])
+    return jnp.swapaxes(out, 1, 2)

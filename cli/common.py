@@ -148,7 +148,23 @@ def pallas_forward_fn(grad_mode: str):
     if grad_mode == "full":
         from audiopure_tpu.kernels.wavenet_block_grad import \
             wavenet_forward_pallas_grad
-        return wavenet_forward_pallas_grad
+        from audiopure_tpu.kernels.wavenet_stack_grad import \
+            wavenet_forward_pallas_input_grad
+
+        def fwd(params, x, t, **kw):
+            # the attack differentiates w.r.t. the WAVEFORM only, so the
+            # whole-net input-grad VJP (layer-resident backward) applies
+            # whenever the layer count fills whole dilation cycles; the
+            # per-layer VJP (weight grads too) remains the fallback
+            kw.pop("tile_l", None)
+            nl = kw.get("num_res_layers", 36)
+            cyc = kw.get("dilation_cycle", 12)
+            if nl % cyc == 0:
+                return wavenet_forward_pallas_input_grad(params, x, t,
+                                                         **kw)
+            return wavenet_forward_pallas_grad(params, x, t, **kw)
+
+        return fwd
     from audiopure_tpu.kernels.wavenet_block import wavenet_forward_pallas
     return wavenet_forward_pallas
 

@@ -202,14 +202,30 @@ def test_full_forward_v4_tile_upgrade_matches_flax():
 
 
 def test_cli_pallas_path_selects_grad_kernel():
-    """--conv_impl pallas --grad_mode full must route through the
-    custom-VJP wrapper; 'ref' keeps the forward-only kernel."""
-    from audiopure_tpu.kernels.wavenet_block_grad import \
-        wavenet_forward_pallas_grad
+    """--conv_impl pallas --grad_mode full must route through a
+    custom-VJP wrapper ('ref' keeps the forward-only kernel): the
+    whole-net input-grad VJP when layers fill whole dilation cycles,
+    the per-layer VJP otherwise."""
     from cli.common import pallas_forward_fn
 
-    assert pallas_forward_fn("full") is wavenet_forward_pallas_grad
+    fwd = pallas_forward_fn("full")
+    assert callable(fwd) and fwd is not wavenet_forward_pallas
     assert pallas_forward_fn("ref") is wavenet_forward_pallas
+
+    # dispatch correctness on a tiny net: full-cycle config must give the
+    # same value as the forward-only kernel and be differentiable
+    net = WaveNet(res_channels=16, skip_channels=16, num_res_layers=12,
+                  dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 400)) * 0.3
+    t = jnp.full((1, 1), 3.0)
+    params = net.init(jax.random.PRNGKey(1), x, t)
+    want = np.asarray(net.apply(params, x, t))
+    got = np.asarray(fwd(params, x, t, num_res_layers=12,
+                         dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+    g = jax.grad(lambda xx: fwd(params, xx, t, num_res_layers=12,
+                                dtype=jnp.float32).sum())(x)
+    assert np.isfinite(np.asarray(g)).all()
 
 
 def test_full_grad_purifier_on_pallas_eps_net():

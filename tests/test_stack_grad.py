@@ -1,0 +1,106 @@
+"""Whole-net input-grad VJP (wavenet_stack_grad): parity with XLA
+autodiff of the flax model, interpret mode on CPU."""
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiopure_tpu.kernels.wavenet_stack_grad import (
+    fused_residual_stack_save_h, wavenet_forward_pallas_input_grad)
+from audiopure_tpu.models.wavenet import WaveNet
+
+NL, C, L = 12, 16, 800
+
+
+@pytest.fixture(scope="module")
+def setup():
+    net = WaveNet(res_channels=C, skip_channels=C, num_res_layers=NL,
+                  dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, L)) * 0.3
+    t = jnp.full((2, 1), 5.0)
+    p = net.init(jax.random.PRNGKey(1), x, t)
+    p = flax.core.unfreeze(p)
+    p["params"]["final_conv2"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(2),
+        p["params"]["final_conv2"]["kernel"].shape) * 0.05
+    ct = jax.random.normal(jax.random.PRNGKey(3),
+                           net.apply(p, x, t).shape) * 0.1
+    return net, p, x, t, ct
+
+
+def test_forward_matches_flax(setup):
+    net, p, x, t, _ = setup
+    want = np.asarray(net.apply(p, x, t))
+    got = np.asarray(wavenet_forward_pallas_input_grad(
+        p, x, t, num_res_layers=NL, dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_audio_gradient_matches_autodiff(setup):
+    net, p, x, t, ct = setup
+    g_ref = jax.grad(lambda xx: (net.apply(p, xx, t) * ct).sum())(x)
+    g_got = jax.grad(lambda xx: (wavenet_forward_pallas_input_grad(
+        p, xx, t, num_res_layers=NL, dtype=jnp.float32,
+        interpret=True) * ct).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_timestep_gradient_matches_autodiff(setup):
+    net, p, x, t, ct = setup
+    g_ref = jax.grad(lambda tt: (net.apply(p, x, tt) * ct).sum())(t)
+    g_got = jax.grad(lambda tt: (wavenet_forward_pallas_input_grad(
+        p, x, tt, num_res_layers=NL, dtype=jnp.float32,
+        interpret=True) * ct).sum())(t)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_saved_h_matches_preactivations(setup):
+    """The streamed h must equal the layer-0 pre-activation computed by
+    hand (zero conv padding, bias-free margins)."""
+    net, p, x, t, _ = setup
+    from audiopure_tpu.kernels.wavenet_block import wavenet_forward_pallas
+    from audiopure_tpu.diffusion.schedule import diffusion_step_embedding
+
+    pp = p["params"]
+    xh = jnp.swapaxes(x, 1, 2)
+    emb = diffusion_step_embedding(t, 128)
+    emb = emb @ pp["fc_t1"]["kernel"] + pp["fc_t1"]["bias"]
+    emb = emb * jax.nn.sigmoid(emb)
+    emb = emb @ pp["fc_t2"]["kernel"] + pp["fc_t2"]["bias"]
+    emb = emb * jax.nn.sigmoid(emb)
+    h0 = jax.nn.relu(
+        jnp.einsum("blc,kco->blo", xh, pp["init_conv"]["kernel"])
+        + pp["init_conv"]["bias"])
+    bp = pp["res_block_0"]
+    tb = emb @ bp["fc_t"]["kernel"] + bp["fc_t"]["bias"]
+    xb = h0 + tb[:, None, :]
+    wd = bp["dilated_conv"]["kernel"]
+
+    def shift(a, off):
+        pad = jnp.zeros_like(a[:, :abs(off)])
+        return (jnp.concatenate([a[:, off:], pad], 1) if off > 0
+                else jnp.concatenate([pad, a[:, :off]], 1) if off < 0
+                else a)
+
+    want_h = (shift(xb, -1) @ wd[0] + xb @ wd[1] + shift(xb, 1) @ wd[2]
+              + bp["dilated_conv"]["bias"])
+
+    blocks = [pp[f"res_block_{n}"] for n in range(NL)]
+    stack = lambda f: jnp.stack([f(b) for b in blocks])
+    t_biases = jnp.stack([(emb @ b["fc_t"]["kernel"] + b["fc_t"]["bias"])
+                          for b in blocks], axis=1)
+    _, h_all = fused_residual_stack_save_h(
+        h0, t_biases,
+        stack(lambda b: b["dilated_conv"]["kernel"]),
+        stack(lambda b: b["dilated_conv"]["bias"]),
+        stack(lambda b: b["res_conv"]["kernel"][0]),
+        stack(lambda b: b["res_conv"]["bias"]),
+        stack(lambda b: b["skip_conv"]["kernel"][0]),
+        stack(lambda b: b["skip_conv"]["bias"]),
+        dilation_cycle=12, chunk_l=400, interpret=True)
+    np.testing.assert_allclose(np.asarray(h_all[:, 0]),
+                               np.asarray(want_h), rtol=1e-5, atol=1e-6)
