@@ -692,6 +692,12 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
         if est_mb > 118.0:
             block_impl = "v4"
     if block_impl == "v5" and num_res_layers % dilation_cycle == 0:
+        # bf16 gate transcendentals by default under bf16 compute: on-chip
+        # 87.7% vs 84.0% of bf16 peak, numerics at the same bf16-rounding
+        # level as the f32 gate (max|.-xla_bf16| 4.2e-3 vs 4.1e-3 on
+        # scale 0.099); f32 compute keeps f32 gates (parity tests)
+        if gate_dtype is None and dtype == jnp.bfloat16:
+            gate_dtype = jnp.bfloat16
         chunk = next(c for c in (2000, 2048, 1600, 1024, 1000, 800, 512,
                                  400, 256, 128, L) if L % c == 0)
         blocks = [p[f"res_block_{n}"] for n in range(num_res_layers)]
