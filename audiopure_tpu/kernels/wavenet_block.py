@@ -590,7 +590,7 @@ def fused_residual_stack(
                 # knob; None = f32, the parity default). sigmoid is
                 # expressed via tanh: Mosaic's bf16 logistic lowering
                 # trips an f32->bf16 vector.broadcast verification bug.
-                if gate_dtype is None:
+                if gate_dtype is None or gate_dtype == jnp.float32:
                     gate = (jnp.tanh(h[:, :C])
                             * jax.nn.sigmoid(h[:, C:])).astype(dtype)
                 else:
@@ -650,6 +650,12 @@ def fused_residual_stack(
     return skip_out
 
 
+def v5_vmem_est_mb(L: int, itemsize: int) -> float:
+    """Resident-footprint estimate of the v5 whole-net kernel, calibrated
+    at L=16000 bf16 (~104 MB state/blocks + ~13 MB cycle weights)."""
+    return (104.0 * L / 16000.0 + 13.0) * (itemsize / 2.0)
+
+
 def wavenet_forward_pallas(params, audio, diffusion_steps, *,
                            num_res_layers: int = 36,
                            dilation_cycle: int = 12,
@@ -658,7 +664,8 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
                            tile_l: int = 1600,
                            block_impl: str = "v5",
                            interpret: bool = False,
-                           gate_dtype=None) -> jnp.ndarray:
+                           gate_dtype=None,
+                           chunk_l=None) -> jnp.ndarray:
     """Full WaveNet forward using the fused block for every residual layer.
 
     Takes the SAME flax param tree as ``models.wavenet.WaveNet`` (both conv
@@ -683,13 +690,13 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
     L = x.shape[1]
 
     if block_impl == "v5" and num_res_layers % dilation_cycle == 0:
-        # VMEM budget guard: the layer-resident state scales with L
-        # (ping-pong (2*margin+L, C) + skip + in/out blocks ~= 104 MB at
-        # L=16000, plus ~13 MB cycle weights). Longer audio (e.g. the
-        # 1.5 s KWS buckets) blows the 128 MB ceiling — measured OOM:
-        # "Used 160.59M of 128.00M" at L=24000 — so fall back to v4.
-        est_mb = 104.0 * L / 16000.0 + 13.0
-        if est_mb > 118.0:
+        # VMEM budget guard: the layer-resident state scales with L and
+        # element size (ping-pong (2*margin+L, C) + skip + in/out blocks
+        # ~= 104 MB at L=16000 bf16, plus ~13 MB cycle weights). Longer
+        # audio (e.g. the 1.5 s KWS buckets) blows the 128 MB ceiling —
+        # measured OOM: "Used 160.59M of 128.00M" at L=24000 — and f32
+        # compute doubles every buffer, so fall back to v4.
+        if v5_vmem_est_mb(L, jnp.dtype(dtype).itemsize) > 118.0:
             block_impl = "v4"
     if block_impl == "v5" and num_res_layers % dilation_cycle == 0:
         # bf16 gate transcendentals by default under bf16 compute: on-chip
@@ -698,8 +705,9 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
         # scale 0.099); f32 compute keeps f32 gates (parity tests)
         if gate_dtype is None and dtype == jnp.bfloat16:
             gate_dtype = jnp.bfloat16
-        chunk = next(c for c in (2000, 2048, 1600, 1024, 1000, 800, 512,
-                                 400, 256, 128, L) if L % c == 0)
+        chunk = chunk_l or next(
+            c for c in (2000, 2048, 1600, 1024, 1000, 800, 512,
+                        400, 256, 128, L) if L % c == 0)
         blocks = [p[f"res_block_{n}"] for n in range(num_res_layers)]
         t_biases = jnp.stack(
             [(emb @ bp["fc_t"]["kernel"] + bp["fc_t"]["bias"]) for bp in

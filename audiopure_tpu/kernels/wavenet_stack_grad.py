@@ -367,6 +367,23 @@ def wavenet_forward_pallas_input_grad(params, audio, diffusion_steps, *,
 
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
+    # VMEM guard (real hardware only — interpret mode has no VMEM): the
+    # save_h forward carries the v5-sized resident state + ~2 MB staging
+    # (measured fitting at L=16000 bf16); beyond the budget, or for
+    # partial dilation cycles, fall back to the per-layer VJP (tiles L)
+    from audiopure_tpu.kernels.wavenet_block import v5_vmem_est_mb
+
+    L_in = audio.shape[-1]
+    too_big = (not interpret) and \
+        v5_vmem_est_mb(L_in, jnp.dtype(dtype).itemsize) + 2.0 > 121.0
+    if num_res_layers % dilation_cycle != 0 or too_big:
+        from audiopure_tpu.kernels.wavenet_block_grad import \
+            wavenet_forward_pallas_grad
+        return wavenet_forward_pallas_grad(
+            params, audio, diffusion_steps,
+            num_res_layers=num_res_layers,
+            dilation_cycle=dilation_cycle, embed_dim_in=embed_dim_in,
+            dtype=dtype)
     p = params["params"]
     x = jnp.swapaxes(audio, 1, 2).astype(dtype)
     B, L, _ = x.shape

@@ -165,8 +165,12 @@ def main():
                 out = atk.generate(xa, ya, jax.random.PRNGKey(10 + rep))
                 dmax = float(jnp.abs(out[0] - xa).max())
                 times.append(time.perf_counter() - t0)
-                if not (dmax > 0):  # output never moved -> invalid probe
-                    raise RuntimeError(f"EOT probe produced dmax={dmax}")
+                # dmax==0 is legitimate when every example already
+                # misclassifies at iteration 0 (ref contract returns the
+                # clean waveform then) — require success in that case
+                if not (dmax > 0 or bool(out[1][0].all())):
+                    raise RuntimeError(f"EOT probe produced dmax={dmax} "
+                                       f"with unsuccessful attacks")
             dt_atk = min(times)
             ms_per_utt_iter = dt_atk * 1e3 / (EOT_BATCH * EOT_ITERS)
             record["eot_pgd_ms_per_utt_iter"] = round(ms_per_utt_iter, 2)

@@ -164,8 +164,11 @@ def main():
             sys_f = AcousticSystem(classifier, fe, dfn, "wave",
                                    defender_stochastic=True)
             # value-identical forward-only system for the prediction pass
-            # (the CLI does the same when grad_mode='full')
-            dfn_ref = RevDiffWave(eps_pallas, T=200, t=3, grad_mode="ref")
+            # (the CLI does the same when grad_mode='full'); must use the
+            # SAME impl family as the grad pass so the pallas-vs-xla
+            # probes isolate the eps-net implementation
+            pred_eps = eps_pallas if impl == "pallas" else eps_fn
+            dfn_ref = RevDiffWave(pred_eps, T=200, t=3, grad_mode="ref")
             sys_p = AcousticSystem(classifier, fe, dfn_ref, "wave",
                                    defender_stochastic=True)
             atkf = AudioAttack(lambda xx, kk: sys_f(xx, key=kk), eps=0.002,

@@ -55,9 +55,10 @@ def main():
         p, xx, tt, block_impl="v3"))
     fwd_v4 = jax.jit(lambda p, xx, tt: wavenet_forward_pallas(
         p, xx, tt, block_impl="v4"))
+    # v5 = f32 gates (must be explicit: bf16 compute now defaults to the
+    # v6 bf16-gate variant); v6 = bf16 gate transcendentals
     fwd_v5 = jax.jit(lambda p, xx, tt: wavenet_forward_pallas(
-        p, xx, tt, block_impl="v5"))
-    # v6 experiment: v5 with bf16 gate transcendentals (VPU throughput)
+        p, xx, tt, block_impl="v5", gate_dtype=jnp.float32))
     fwd_v6 = jax.jit(lambda p, xx, tt: wavenet_forward_pallas(
         p, xx, tt, block_impl="v5", gate_dtype=jnp.bfloat16))
 
@@ -90,6 +91,12 @@ def main():
         lambda p, xx, tt, tl: wavenet_forward_pallas(
             p, xx, tt, block_impl="v3", tile_l=tl), tl=tl)))
         for tl in tile_sweep]
+    chunk_sweep = [int(s) for s in os.environ.get(
+        "KB_CHUNKS", "").split(",") if s]
+    sweeps += [(f"v6_c{cl}", jax.jit(functools.partial(
+        lambda p, xx, tt, cl: wavenet_forward_pallas(
+            p, xx, tt, block_impl="v5", chunk_l=cl), cl=cl)))
+        for cl in chunk_sweep]
 
     results = {}
     for name, fn in [("xla", fwd_xla), ("v2", fwd_v2), ("v3", fwd_v3),
