@@ -656,6 +656,63 @@ def v5_vmem_est_mb(L: int, itemsize: int) -> float:
     return (104.0 * L / 16000.0 + 13.0) * (itemsize / 2.0)
 
 
+def wavenet_stem(p, audio, diffusion_steps, embed_dim_in, dtype):
+    """Shared pre-stack stages: timestep-embedding MLP (swish x2, ref
+    ``WaveNet.py:60-66``) and the 1x1 init conv + relu. Returns
+    (emb (B, 512), h (B, L, C))."""
+    from audiopure_tpu.diffusion.schedule import diffusion_step_embedding
+
+    x = jnp.swapaxes(audio, 1, 2).astype(dtype)  # (B, L, 1)
+    emb = diffusion_step_embedding(diffusion_steps, embed_dim_in)
+    emb = emb @ p["fc_t1"]["kernel"] + p["fc_t1"]["bias"]
+    emb = emb * jax.nn.sigmoid(emb)
+    emb = emb @ p["fc_t2"]["kernel"] + p["fc_t2"]["bias"]
+    emb = emb * jax.nn.sigmoid(emb)
+    h = jax.nn.relu(
+        jnp.einsum("blc,kco->blo", x,
+                   p["init_conv"]["kernel"].astype(dtype))
+        + p["init_conv"]["bias"].astype(dtype))
+    return emb, h
+
+
+def wavenet_stack_inputs(p, emb, num_res_layers, dtype):
+    """Per-layer weights stacked on a leading layer axis for the
+    whole-net kernels: (t_biases (B, NL, C), wd, bd, wres, bres, wskip,
+    bskip)."""
+    blocks = [p[f"res_block_{n}"] for n in range(num_res_layers)]
+    t_biases = jnp.stack(
+        [(emb @ bp["fc_t"]["kernel"] + bp["fc_t"]["bias"]) for bp in
+         blocks], axis=1).astype(dtype)
+    stack = lambda f: jnp.stack([f(bp) for bp in blocks])
+    return (t_biases,
+            stack(lambda bp: bp["dilated_conv"]["kernel"].astype(dtype)),
+            stack(lambda bp: bp["dilated_conv"]["bias"]),
+            stack(lambda bp: bp["res_conv"]["kernel"][0].astype(dtype)),
+            stack(lambda bp: bp["res_conv"]["bias"]),
+            stack(lambda bp: bp["skip_conv"]["kernel"][0].astype(dtype)),
+            stack(lambda bp: bp["skip_conv"]["bias"]))
+
+
+def wavenet_head(p, skip_sum, num_res_layers):
+    """Shared post-stack head: skip scaling + the two final 1x1 convs
+    (ref ``WaveNet.py:99-103``). Returns (B, C_out, L) float32."""
+    out = skip_sum.astype(jnp.float32) * math.sqrt(1.0 / num_res_layers)
+    out = jax.nn.relu(
+        jnp.einsum("blc,kco->blo", out, p["final_conv1"]["kernel"])
+        + p["final_conv1"]["bias"])
+    out = (jnp.einsum("blc,kco->blo", out, p["final_conv2"]["kernel"])
+           + p["final_conv2"]["bias"])
+    return jnp.swapaxes(out, 1, 2)
+
+
+def pick_stack_chunk(L: int, chunk_l=None) -> int:
+    """The whole-net kernels' length-chunk: explicit override or the
+    largest preferred divisor of L."""
+    return chunk_l or next(
+        c for c in (2000, 2048, 1600, 1024, 1000, 800, 512,
+                    400, 256, 128, L) if L % c == 0)
+
+
 def wavenet_forward_pallas(params, audio, diffusion_steps, *,
                            num_res_layers: int = 36,
                            dilation_cycle: int = 12,
@@ -671,23 +728,10 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
     Takes the SAME flax param tree as ``models.wavenet.WaveNet`` (both conv
     impls), so checkpoints and the XLA path interchange freely.
     """
-    from audiopure_tpu.diffusion.schedule import diffusion_step_embedding
-
     p = params["params"]
-    x = jnp.swapaxes(audio, 1, 2).astype(dtype)  # (B, L, 1)
-
-    emb = diffusion_step_embedding(diffusion_steps, embed_dim_in)
-    emb = emb @ p["fc_t1"]["kernel"] + p["fc_t1"]["bias"]
-    emb = emb * jax.nn.sigmoid(emb)
-    emb = emb @ p["fc_t2"]["kernel"] + p["fc_t2"]["bias"]
-    emb = emb * jax.nn.sigmoid(emb)
-
-    h = jax.nn.relu(
-        jnp.einsum("blc,kco->blo", x, p["init_conv"]["kernel"].astype(dtype))
-        + p["init_conv"]["bias"].astype(dtype))
-
+    emb, h = wavenet_stem(p, audio, diffusion_steps, embed_dim_in, dtype)
     skip_ch = p["res_block_0"]["skip_conv"]["kernel"].shape[-1]
-    L = x.shape[1]
+    L = h.shape[1]
 
     if block_impl == "v5" and num_res_layers % dilation_cycle == 0:
         # VMEM budget guard: the layer-resident state scales with L and
@@ -705,33 +749,14 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
         # scale 0.099); f32 compute keeps f32 gates (parity tests)
         if gate_dtype is None and dtype == jnp.bfloat16:
             gate_dtype = jnp.bfloat16
-        chunk = chunk_l or next(
-            c for c in (2000, 2048, 1600, 1024, 1000, 800, 512,
-                        400, 256, 128, L) if L % c == 0)
-        blocks = [p[f"res_block_{n}"] for n in range(num_res_layers)]
-        t_biases = jnp.stack(
-            [(emb @ bp["fc_t"]["kernel"] + bp["fc_t"]["bias"]) for bp in
-             blocks], axis=1).astype(dtype)                   # (B, NL, C)
-        stack = lambda f: jnp.stack([f(bp) for bp in blocks])
+        stack_in = wavenet_stack_inputs(p, emb, num_res_layers, dtype)
         skip_sum = fused_residual_stack(
-            h, t_biases,
-            stack(lambda bp: bp["dilated_conv"]["kernel"].astype(dtype)),
-            stack(lambda bp: bp["dilated_conv"]["bias"]),
-            stack(lambda bp: bp["res_conv"]["kernel"][0].astype(dtype)),
-            stack(lambda bp: bp["res_conv"]["bias"]),
-            stack(lambda bp: bp["skip_conv"]["kernel"][0].astype(dtype)),
-            stack(lambda bp: bp["skip_conv"]["bias"]),
-            dilation_cycle=dilation_cycle, chunk_l=chunk,
+            h, *stack_in, dilation_cycle=dilation_cycle,
+            chunk_l=pick_stack_chunk(L, chunk_l),
             interpret=interpret, gate_dtype=gate_dtype)
-        out = skip_sum.astype(jnp.float32) * math.sqrt(1.0 / num_res_layers)
-        out = jax.nn.relu(
-            jnp.einsum("blc,kco->blo", out, p["final_conv1"]["kernel"])
-            + p["final_conv1"]["bias"])
-        out = (jnp.einsum("blc,kco->blo", out, p["final_conv2"]["kernel"])
-               + p["final_conv2"]["bias"])
-        return jnp.swapaxes(out, 1, 2)
+        return wavenet_head(p, skip_sum, num_res_layers)
 
-    skip_sum = jnp.zeros((x.shape[0], x.shape[1], skip_ch), dtype=dtype)
+    skip_sum = jnp.zeros((h.shape[0], h.shape[1], skip_ch), dtype=dtype)
     block = fused_residual_block if block_impl == "v2" \
         else fused_residual_block_v3
 
@@ -745,8 +770,6 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
                         bp["res_conv"]["bias"],
                         bp["skip_conv"]["kernel"][0].astype(dtype),
                         bp["skip_conv"]["bias"])
-
-    L = x.shape[1]
 
     def pair_tile(d1, d2):
         """Tile for the fused pair, or None when pairing loses: the
@@ -780,10 +803,4 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
                             tile_l=tile_l, interpret=interpret)
         n += 1
 
-    out = skip_sum.astype(jnp.float32) * math.sqrt(1.0 / num_res_layers)
-    out = jax.nn.relu(
-        jnp.einsum("blc,kco->blo", out, p["final_conv1"]["kernel"])
-        + p["final_conv1"]["bias"])
-    out = (jnp.einsum("blc,kco->blo", out, p["final_conv2"]["kernel"])
-           + p["final_conv2"]["bias"])
-    return jnp.swapaxes(out, 1, 2)  # (B, C_out, L)
+    return wavenet_head(p, skip_sum, num_res_layers)  # (B, C_out, L)

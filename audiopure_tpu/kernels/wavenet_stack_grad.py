@@ -363,8 +363,6 @@ def wavenet_forward_pallas_input_grad(params, audio, diffusion_steps, *,
     attack contract.  Same param tree / outputs as
     ``wavenet_forward_pallas``; weight gradients are zero (use the
     per-layer VJP or XLA autodiff for training)."""
-    from audiopure_tpu.diffusion.schedule import diffusion_step_embedding
-
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     # VMEM guard (real hardware only — interpret mode has no VMEM): the
@@ -384,40 +382,14 @@ def wavenet_forward_pallas_input_grad(params, audio, diffusion_steps, *,
             num_res_layers=num_res_layers,
             dilation_cycle=dilation_cycle, embed_dim_in=embed_dim_in,
             dtype=dtype)
+    from audiopure_tpu.kernels.wavenet_block import (pick_stack_chunk,
+                                                     wavenet_head,
+                                                     wavenet_stack_inputs,
+                                                     wavenet_stem)
+
     p = params["params"]
-    x = jnp.swapaxes(audio, 1, 2).astype(dtype)
-    B, L, _ = x.shape
-
-    emb = diffusion_step_embedding(diffusion_steps, embed_dim_in)
-    emb = emb @ p["fc_t1"]["kernel"] + p["fc_t1"]["bias"]
-    emb = emb * jax.nn.sigmoid(emb)
-    emb = emb @ p["fc_t2"]["kernel"] + p["fc_t2"]["bias"]
-    emb = emb * jax.nn.sigmoid(emb)
-
-    h = jax.nn.relu(
-        jnp.einsum("blc,kco->blo", x, p["init_conv"]["kernel"].astype(dtype))
-        + p["init_conv"]["bias"].astype(dtype))
-
-    blocks = [p[f"res_block_{n}"] for n in range(num_res_layers)]
-    t_biases = jnp.stack(
-        [(emb @ bp["fc_t"]["kernel"] + bp["fc_t"]["bias"]) for bp in
-         blocks], axis=1).astype(dtype)
-    stack = lambda f: jnp.stack([f(bp) for bp in blocks])
-    chunk = next(c for c in (2000, 2048, 1600, 1024, 1000, 800, 512,
-                             400, 256, 128, L) if L % c == 0)
+    emb, h = wavenet_stem(p, audio, diffusion_steps, embed_dim_in, dtype)
+    stack_in = wavenet_stack_inputs(p, emb, num_res_layers, dtype)
     skip_sum = fused_stack_input_grad(
-        h, t_biases,
-        stack(lambda bp: bp["dilated_conv"]["kernel"].astype(dtype)),
-        stack(lambda bp: bp["dilated_conv"]["bias"]),
-        stack(lambda bp: bp["res_conv"]["kernel"][0].astype(dtype)),
-        stack(lambda bp: bp["res_conv"]["bias"]),
-        stack(lambda bp: bp["skip_conv"]["kernel"][0].astype(dtype)),
-        stack(lambda bp: bp["skip_conv"]["bias"]),
-        dilation_cycle, chunk, interpret)
-    out = skip_sum.astype(jnp.float32) * math.sqrt(1.0 / num_res_layers)
-    out = jax.nn.relu(
-        jnp.einsum("blc,kco->blo", out, p["final_conv1"]["kernel"])
-        + p["final_conv1"]["bias"])
-    out = (jnp.einsum("blc,kco->blo", out, p["final_conv2"]["kernel"])
-           + p["final_conv2"]["bias"])
-    return jnp.swapaxes(out, 1, 2)
+        h, *stack_in, dilation_cycle, pick_stack_chunk(L_in), interpret)
+    return wavenet_head(p, skip_sum, num_res_layers)
