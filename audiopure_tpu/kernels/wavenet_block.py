@@ -705,12 +705,16 @@ def wavenet_head(p, skip_sum, num_res_layers):
     return jnp.swapaxes(out, 1, 2)
 
 
-def pick_stack_chunk(L: int, chunk_l=None) -> int:
+_STACK_CHUNKS = (4000, 2000, 2048, 1600, 1024, 1000, 800, 512,
+                 400, 256, 128)
+
+
+def pick_stack_chunk(L: int, chunk_l=None, prefer=_STACK_CHUNKS) -> int:
     """The whole-net kernels' length-chunk: explicit override or the
-    largest preferred divisor of L."""
-    return chunk_l or next(
-        c for c in (2000, 2048, 1600, 1024, 1000, 800, 512,
-                    400, 256, 128, L) if L % c == 0)
+    first preferred divisor of L (4000 measured 88.0% vs 2000's 87.7%
+    of bf16 peak; the save_h grad forward prefers 2000 — its staging
+    buffers ride the tighter VMEM budget)."""
+    return chunk_l or next(c for c in (*prefer, L) if L % c == 0)
 
 
 def wavenet_forward_pallas(params, audio, diffusion_steps, *,

@@ -382,7 +382,8 @@ def wavenet_forward_pallas_input_grad(params, audio, diffusion_steps, *,
             num_res_layers=num_res_layers,
             dilation_cycle=dilation_cycle, embed_dim_in=embed_dim_in,
             dtype=dtype)
-    from audiopure_tpu.kernels.wavenet_block import (pick_stack_chunk,
+    from audiopure_tpu.kernels.wavenet_block import (_STACK_CHUNKS,
+                                                     pick_stack_chunk,
                                                      wavenet_head,
                                                      wavenet_stack_inputs,
                                                      wavenet_stem)
@@ -390,6 +391,7 @@ def wavenet_forward_pallas_input_grad(params, audio, diffusion_steps, *,
     p = params["params"]
     emb, h = wavenet_stem(p, audio, diffusion_steps, embed_dim_in, dtype)
     stack_in = wavenet_stack_inputs(p, emb, num_res_layers, dtype)
+    chunk = pick_stack_chunk(L_in, prefer=_STACK_CHUNKS[1:])
     skip_sum = fused_stack_input_grad(
-        h, *stack_in, dilation_cycle, pick_stack_chunk(L_in), interpret)
+        h, *stack_in, dilation_cycle, chunk, interpret)
     return wavenet_head(p, skip_sum, num_res_layers)
