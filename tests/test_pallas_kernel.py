@@ -307,3 +307,21 @@ def test_v5_long_audio_falls_back_within_vmem():
         params, x, t, num_res_layers=12, dtype=jnp.float32,
         block_impl="v5", interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_v6_bf16_gate_default_matches_flax_bf16():
+    """The TPU production path (bf16 compute -> v6 bf16-gate default):
+    interpret-mode parity with the flax bf16 model at bf16-rounding
+    tolerance."""
+    net = WaveNet(res_channels=16, skip_channels=16, num_res_layers=12,
+                  dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 400)) * 0.3
+    t = jnp.full((2, 1), 5.0)
+    params = net.init(jax.random.PRNGKey(1), x, t)
+    want = np.asarray(net.apply(params, x, t), dtype=np.float32)
+    got = np.asarray(wavenet_forward_pallas(
+        params, x, t, num_res_layers=12, dtype=jnp.bfloat16,
+        block_impl="v5", interpret=True), dtype=np.float32)
+    scale = max(np.abs(want).max(), 1e-6)
+    assert np.abs(got - want).max() < 0.05 * scale, (
+        np.abs(got - want).max(), scale)
