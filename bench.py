@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 A100_REFERENCE_UPS = 40.0  # estimated torch/A100 throughput (see docstring)
 
-BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+BATCH = int(os.environ.get("BENCH_BATCH", "384"))  # 512 OOMs; 384 fits
 REVERSE_T = int(os.environ.get("BENCH_T", "3"))
 ITERS = int(os.environ.get("BENCH_ITERS", "6"))
 DTYPE = os.environ.get("BENCH_DTYPE", "bf16")
