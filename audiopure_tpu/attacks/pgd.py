@@ -84,6 +84,7 @@ class AudioAttack:
         masker=None,
         stage2_kwargs: Optional[dict] = None,
         predict_model_fn: Optional[Callable] = None,
+        share_eot: bool = False,
     ):
         self.model_fn = model_fn
         self.loss_fn = loss_fn
@@ -108,6 +109,21 @@ class AudioAttack:
         self.eot_defense = EOT(predict_model_fn or model_fn, loss_fn,
                                eot_defense_size, chunk=eot_chunk,
                                use_grad=False)
+        # share_eot: reuse the attack pass's forward scores for the
+        # prediction bookkeeping instead of running a second independent
+        # EOT stack — the reference evaluates prediction and gradient at
+        # the SAME point x+delta with two independent replica sets
+        # (``stage_1:386-435``); sharing keeps the estimator (mean score
+        # over eot_size fresh purification draws at that point) and the
+        # update rule, halving the purifications per iteration.  Off by
+        # default (exact reference pairing); requires equal EOT sizes so
+        # the prediction estimator's replica count is unchanged.
+        # Deviation documented in docs/PARITY.md.
+        self.share_eot = bool(share_eot)
+        if self.share_eot and eot_attack_size != eot_defense_size:
+            raise ValueError(
+                "share_eot requires eot_attack_size == eot_defense_size "
+                f"(got {eot_attack_size} vs {eot_defense_size})")
         self._stage1_cache = {}
 
     # ------------------------------------------------------------------
@@ -138,12 +154,22 @@ class AudioAttack:
             k_def, k_atk = jax.random.split(key_i)
             x_pert = x + delta
 
-            pred = self._predict(x_pert, y, k_def)
+            if self.share_eot:
+                # one EOT stack: its mean scores serve the prediction
+                # bookkeeping AND its mean grad serves the update —
+                # both evaluated at x_pert, as in the reference
+                scores, _, grad, _ = self.eot_attack(
+                    x_pert, y, k_atk, use_grad=True)
+                pred = jnp.argmax(scores, axis=-1)
+            else:
+                pred = self._predict(x_pert, y, k_def)
             hit = hit_mask(pred)
             x_adv = jnp.where(hit[:, None, None], x_pert, x_adv)
             success = jnp.logical_or(success, hit)
 
-            _, _, grad, _ = self.eot_attack(x_pert, y, k_atk, use_grad=True)
+            if not self.share_eot:
+                _, _, grad, _ = self.eot_attack(x_pert, y, k_atk,
+                                                use_grad=True)
             if self.norm == "linf":
                 step = self.lr * jnp.sign(grad)
             else:

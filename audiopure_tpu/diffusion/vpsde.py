@@ -249,16 +249,46 @@ class RevSpecDiffusion:
     def inv_standardize(cls, x):
         return (x + 1.0) * (cls.MEL_UPPER - cls.MEL_LOWER) / 2.0 + cls.MEL_LOWER
 
-    def _step_fg(self, x, t_cont):
-        """Continuous-time reverse drift/diffusion at scalar time ``t_cont``
-        (in [0,1]); see ``improved_diffusion_sde.py:84-119``."""
-        beta_t = self.beta_0 + t_cont * (self.beta_1 - self.beta_0)
-        disc = jnp.floor(t_cont * self.N).astype(jnp.int32)
+    def _solver_grid(self):
+        """Host-side f32 replica of torchsde's fixed-step Euler grid.
+
+        The reference passes NO ``dt`` (``improved_diffusion_sde.py:
+        202-204``), so torchsde uses its default 1e-3 and accumulates
+        ``curr_t = f32(curr_t + dt)`` on f32 tensors, clipping the final
+        step at ``t1 = f32(1 - 1e-5)``.  The discrete eps-net index is
+        ``(f32(1 - tau) * N).long()`` — truncation on the f32-rounded
+        physical time, which can land one integer BELOW the exact value
+        (e.g. tau=0.951 -> 48, not 49).  Reproducing that walk exactly
+        requires doing it in f32, done here once at trace time (t is
+        static).  Returns (t_phys[f32], h[f32 step sizes], disc[int32]).
+        """
+        one = np.float32(1.0)
+        dt = np.float32(1e-3)          # torchsde default, NOT 1/N
+        # t0/t1 are python-f64 expressions rounded once to f32 by
+        # torch.linspace (ref :194-197)
+        tau = np.float32(1.0 - self.t * 1.0 / self.N)
+        t1 = np.float32(1.0 - 1e-5)
+        taus, hs = [], []
+        while tau < t1:
+            nxt = min(np.float32(tau + dt), t1)
+            taus.append(tau)
+            hs.append(np.float32(nxt - tau))
+            tau = nxt
+        taus = np.asarray(taus, np.float32)
+        t_phys = (one - taus).astype(np.float32)
+        disc = (t_phys * np.float32(self.N)).astype(np.int32)  # .long() trunc
+        return taus, t_phys, np.asarray(hs, np.float32), disc
+
+    def _step_fg(self, x, t_phys, disc):
+        """Continuous-time reverse drift/diffusion at physical time
+        ``t_phys`` with eps-net step index ``disc``; see
+        ``improved_diffusion_sde.py:84-119``."""
+        beta_t = self.beta_0 + t_phys * (self.beta_1 - self.beta_0)
         steps = jnp.full((x.shape[0],), disc, dtype=jnp.float32)
         eps = self.eps_fn(x, steps[:, None])
         # continuous alphas_cumprod(t) = exp(-0.5 (b1-b0) t^2 - b0 t)
-        abar_cont = jnp.exp(-0.5 * (self.beta_1 - self.beta_0) * t_cont ** 2
-                            - self.beta_0 * t_cont)
+        abar_cont = jnp.exp(-0.5 * (self.beta_1 - self.beta_0) * t_phys ** 2
+                            - self.beta_0 * t_phys)
         score = -eps / jnp.sqrt(1.0 - abar_cont)
         drift = -0.5 * beta_t * x - beta_t * score
         f = -drift
@@ -271,24 +301,23 @@ class RevSpecDiffusion:
         e = jax.random.normal(k_noise, spec01.shape, dtype=spec01.dtype)
         x = jnp.sqrt(abar) * spec01 + jnp.sqrt(1.0 - abar) * e
 
-        dt = 1.0 / self.N
-        t0 = 1.0 - self.t / self.N  # epsilon_dt0 = 0 in the spec variant
+        # exact torchsde grid (f32 walk, final step clipped at 1 - 1e-5,
+        # f32-truncated disc indices) — see _solver_grid
+        _, t_phys, hs, disc = self._solver_grid()
 
         def step(carry, inp):
             xk = carry
-            k_idx, kk = inp
-            # integrate in reversed time: current reverse-time = t0 + k*dt,
-            # physical time = 1 - that
-            t_cont = 1.0 - (t0 + k_idx * dt)
-            f, g = self._step_fg(xk, t_cont)
+            tp, h, dk, kk = inp
+            f, g = self._step_fg(xk, tp, dk)
             z = jax.random.normal(kk, xk.shape, dtype=xk.dtype)
-            return xk + f * dt + g * np.sqrt(dt) * z, None
+            return xk + f * h + g * jnp.sqrt(h) * z, None
 
         if self.remat:
             step = jax.checkpoint(step)
-        ks = jax.random.split(k_sde, self.t)
+        ks = jax.random.split(k_sde, len(t_phys))
         x0, _ = jax.lax.scan(
-            step, x, (jnp.arange(self.t, dtype=jnp.float32), ks)
+            step, x, (jnp.asarray(t_phys), jnp.asarray(hs),
+                      jnp.asarray(disc), ks)
         )
         return x0
 

@@ -263,7 +263,12 @@ def fused_residual_block_v3(
     dtype = x.dtype
     use_window = dilation <= ROLL_MAX_D
     halo = _halo(dilation)
-    read_len = tile_l + 2 * halo if use_window else tile_l
+    # window capped at L: for short audio (tile_l == L) the haloed window
+    # would otherwise exceed the array and the clamped element-offset
+    # read would go out of bounds (garbage rows); with read_len == L the
+    # window is the whole signal and the roll+mask machinery below
+    # resolves every tap row modulo L exactly
+    read_len = min(tile_l + 2 * halo, L) if use_window else tile_l
 
     grid = (B, L // tile_l)
     block_l = pl.BlockSpec((1, tile_l, C), lambda b, j: (b, j, 0))
@@ -382,6 +387,9 @@ def fused_residual_pair(
     ext = tile_l + 2 * h2_       # layer-1 output rows computed per tile
     wlen = tile_l + 2 * htot     # window rows read per tile
     assert 2 * htot < tile_l, (d1, d2, tile_l)
+    # clamp_start needs L - wlen >= 0; otherwise the element-offset
+    # window read goes out of bounds and returns garbage (advisor r2)
+    assert wlen <= L, (L, tile_l, d1, d2, wlen)
 
     grid = (B, L // tile_l)
     block_l = pl.BlockSpec((1, tile_l, C), lambda b, j: (b, j, 0))
@@ -781,7 +789,10 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
         <= tile/3), upgrading to a double tile for medium dilations."""
         for tl in (tile_l, 2 * tile_l):
             if (L % tl == 0 and 2 * _halo(d2) <= tl // 3
-                    and 2 * (_halo(d1) + _halo(d2)) < tl):
+                    and 2 * (_halo(d1) + _halo(d2)) < tl
+                    # window (tl + 2*halos) must fit inside L, else the
+                    # clamped element-offset read is out of bounds
+                    and tl + 2 * (_halo(d1) + _halo(d2)) <= L):
                 return tl
         return None
 

@@ -48,6 +48,15 @@ def diffusion_training_loss(apply_fn: Callable, params, x0: jnp.ndarray,
 def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
                     optimizer: optax.GradientTransformation):
     """Returns ``train_step(state, batch) -> (state, loss)`` (pure, jittable)."""
+    # the whole-net input-grad kernel returns exact-zero weight cotangents
+    # by contract (attack path only); wiring it here would silently train
+    # nothing (advisor r2) — fail loudly instead
+    if getattr(apply_fn, "__name__", "") == \
+            "wavenet_forward_pallas_input_grad":
+        raise ValueError(
+            "apply_fn is the input-grad-only attack kernel; training needs "
+            "weight gradients — use wavenet_forward_pallas_grad or the "
+            "flax apply")
 
     def train_step(state: TrainState, x0: jnp.ndarray
                    ) -> Tuple[TrainState, jnp.ndarray]:

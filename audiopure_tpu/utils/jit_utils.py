@@ -44,6 +44,16 @@ class hoisted_jit:
         self._fn = fn
         self._cache = {}
 
+    def clear(self):
+        """Drop every cached (jaxpr, hoisted-consts) entry.
+
+        The hoisted constants are captured at first trace per signature;
+        if new parameter values are swapped into the same closure (e.g. a
+        checkpoint reloaded into a live system/attack object), call this
+        so the next dispatch re-captures them — otherwise the stale
+        weights keep being served (advisor r2)."""
+        self._cache.clear()
+
     @staticmethod
     def _signature(args):
         leaves, treedef = tree_util.tree_flatten(args)

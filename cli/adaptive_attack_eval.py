@@ -47,6 +47,11 @@ def add_attack_args(parser):
     a.add_argument("--eot_batch_size", type=int, default=None,
                    help="replicas per compiled chunk (the reference's "
                         "EOT_batch_size memory knob, _EOT.py:21)")
+    a.add_argument("--share_eot", action="store_true",
+                   help="reuse the gradient pass's EOT forward scores "
+                        "for the prediction bookkeeping (same point, "
+                        "same replica count; ~2x fewer purifications "
+                        "per PGD iteration; needs equal EOT sizes)")
     a.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler device trace of the first "
                         "attacked batch (view in TensorBoard/XProf)")
@@ -66,7 +71,8 @@ def build_attacker(args, model_fn, predict_model_fn=None):
             eot_defense_size=args.eot_defense_size,
             eot_chunk=args.eot_batch_size,
             masker=PsychoacousticMasker() if args.max_iter_2 > 0 else None,
-            predict_model_fn=predict_model_fn)
+            predict_model_fn=predict_model_fn,
+            share_eot=getattr(args, "share_eot", False))
         print(f"attack: PGD with {args.bound_norm}_eps={args.eps} & "
               f"iter={args.max_iter_1} & "
               f"eot={args.eot_attack_size}-{args.eot_defense_size}\n")
@@ -134,8 +140,9 @@ def main(argv=None):
     model_fn = system_model_fn(system)
     # grad_mode='full' routes the eps-net through the custom-VJP grad
     # kernel; the attack's *prediction* pass never differentiates, so
-    # build a value-identical grad_mode='ref' system (forward-only fused
-    # kernel) for it — same weights, same outputs, faster forward
+    # build a grad_mode='ref' system (forward-only fused kernel) for it —
+    # same weights, f32 gates forced so its values match the VJP primal
+    # exactly (the v6 bf16-gate default differs by ~4e-3 relative)
     predict_fn = None
     if getattr(args, "grad_mode", "ref") == "full" \
             and args.attack == "PGD" \
@@ -143,6 +150,7 @@ def main(argv=None):
         import copy
         ref_args = copy.copy(args)
         ref_args.grad_mode = "ref"
+        ref_args.gate_f32 = True
         predict_fn = system_model_fn(build_system(ref_args))
     attacker = build_attacker(args, model_fn, predict_fn)
     _, x_sharding, y_sharding = make_eval_sharding(args)

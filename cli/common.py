@@ -210,12 +210,19 @@ def load_diffwave_eps_fn(args):
         conv_impl = "xla"
     if conv_impl == "pallas":
         w = cfg.wavenet
-        fwd = pallas_forward_fn(getattr(args, "grad_mode", "ref"))
+        grad_mode = getattr(args, "grad_mode", "ref")
+        fwd = pallas_forward_fn(grad_mode)
+        extra = {}
+        if grad_mode == "ref" and getattr(args, "gate_f32", False):
+            # a 'ref' prediction system paired with a grad_mode='full'
+            # attack must match the VJP primal's f32 gates, not the v6
+            # bf16-gate default (~4e-3 rel difference; advisor r2)
+            extra["gate_dtype"] = jnp.float32
         return (lambda x, t: fwd(
             params, x, t, num_res_layers=w.num_res_layers,
             dilation_cycle=w.dilation_cycle,
             embed_dim_in=w.diffusion_step_embed_dim_in,
-            dtype=dtype).astype(jnp.float32)), cfg
+            dtype=dtype, **extra).astype(jnp.float32)), cfg
     return (lambda x, t: net.apply(params, x, t)), cfg
 
 

@@ -160,3 +160,39 @@ def test_predict_model_fn_value_identical():
     np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out2[0]))
     np.testing.assert_array_equal(np.asarray(out1[1][0]),
                                   np.asarray(out2[1][0]))
+
+
+def test_share_eot_matches_on_deterministic_system():
+    """On a deterministic system the shared-EOT trajectory is identical
+    to the reference two-stack pairing: same point, same scores, same
+    gradient -> same delta updates and bookkeeping."""
+    x = jnp.ones((3, 1, 64)) * 0.001
+    y = jnp.zeros(3, dtype=jnp.int32)
+    a = AudioAttack(linear_model, eps=0.01, norm="linf", max_iter_1=15,
+                    eot_attack_size=2, eot_defense_size=2)
+    b = AudioAttack(linear_model, eps=0.01, norm="linf", max_iter_1=15,
+                    eot_attack_size=2, eot_defense_size=2, share_eot=True)
+    xa, (sa, _) = a.generate(x, y, jax.random.PRNGKey(3))
+    xb, (sb, _) = b.generate(x, y, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+
+
+def test_share_eot_flips_noisy_system():
+    """Shared mode still succeeds on a stochastic system (the estimator
+    is unchanged: mean over eot_size fresh draws at x+delta)."""
+    x = jnp.ones((3, 1, 64)) * 0.001
+    y = jnp.zeros(3, dtype=jnp.int32)
+    atk = AudioAttack(noisy_model, eps=0.01, norm="linf", max_iter_1=25,
+                      eot_attack_size=8, eot_defense_size=8,
+                      share_eot=True)
+    x_adv, (succ, _) = atk.generate(x, y, jax.random.PRNGKey(0))
+    assert np.asarray(succ).all()
+    assert float(jnp.abs(x_adv - x).max()) <= 0.01 + 1e-6
+
+
+def test_share_eot_requires_equal_sizes():
+    import pytest
+    with pytest.raises(ValueError):
+        AudioAttack(linear_model, eot_attack_size=4, eot_defense_size=2,
+                    share_eot=True)

@@ -180,6 +180,21 @@ def test_full_forward_v5_odd_cycle_matches_flax():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
 
 
+def test_full_forward_v4_single_tile_short_audio():
+    """L == tile_l: the pair window (tile + 2*halos) exceeds L, so the
+    clamped element-offset read would go out of bounds — dispatch must
+    fall back to single blocks and stay exact (advisor r2 finding)."""
+    net, params = _net_and_params()
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, 1, 256)) * 0.3
+    t = jnp.asarray([[3.0], [17.0]])
+    want = np.asarray(net.apply(params, x, t))
+    got = np.asarray(wavenet_forward_pallas(
+        params, x, t, num_res_layers=4, dilation_cycle=2, embed_dim_in=16,
+        dtype=jnp.float32, tile_l=256, block_impl="v4", interpret=True))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
 def test_full_forward_v4_tile_upgrade_matches_flax():
     """The (64,128) pair only fits a 2x tile (2*halo(128)=256 > 512//3);
     this config drives the per-pair tile-upgrade path end to end."""

@@ -52,12 +52,38 @@ def _stub_module(name, **attrs):
 @pytest.fixture(scope="module")
 def ref():
     """Import the reference modules with heavy/unavailable deps stubbed."""
-    _stub_module("torchsde")
+    def _euler_sdeint(sde, y0, ts, method="euler", dt=1e-3, bm=None, **kw):
+        """Clean-room torchsde fixed-step Euler: accumulate the grid in
+        f32 exactly as torchsde does on f32 ``ts`` tensors
+        (``curr_t = min(curr_t + dt, t1)``, final step clipped), noise
+        via torch.randn_like so the goldens can inject draws."""
+        assert method == "euler" and bm is None
+        tau = np.float32(float(ts[0]))
+        t1 = np.float32(float(ts[-1]))
+        y = y0
+        with torch.no_grad():
+            while tau < t1:
+                nxt = min(np.float32(tau + np.float32(dt)), t1)
+                h = np.float32(nxt - tau)
+                tt = torch.tensor(tau, dtype=y0.dtype)
+                z = torch.randn_like(y)
+                y = (y + sde.f(tt, y) * float(h)
+                     + sde.g(tt, y) * np.sqrt(float(h)) * z)
+                tau = nxt
+        return torch.stack([y0, y])
+
+    _stub_module("torchsde", sdeint_adjoint=_euler_sdeint,
+                 sdeint=_euler_sdeint, BrownianInterval=None)
     _stub_module("torchaudio")
     _stub_module("torchaudio.datasets")
     _stub_module("torchaudio.datasets.utils",
                  download_url=None, extract_archive=None)
     _stub_module("torchvision", datasets=None, models=None, transforms=None)
+    _stub_module("torchvision.transforms", Compose=lambda ts: ts)
+    _stub_module("torchvision.utils", save_image=None)
+    sys.modules["torchvision"].transforms = sys.modules[
+        "torchvision.transforms"]
+    sys.modules["torchvision"].utils = sys.modules["torchvision.utils"]
     _stub_module("librosa")
     if REF not in sys.path:
         sys.path.append(REF)  # append: never shadow installed packages
@@ -83,6 +109,8 @@ def ref():
         respace=importlib.import_module(
             "diffusion_models.Improved_Diffusion_Unconditional."
             "improved_diffusion.respace"),
+        spec_sde=importlib.import_module(
+            "diffusion_models.improved_diffusion_sde"),
     )
     yield mods
     torch.Tensor.cuda = orig_tensor_cuda
@@ -513,3 +541,161 @@ def test_respacing_matches_reference(ref):
         loss_type=ref.gaussian.LossType.MSE)
     np.testing.assert_allclose(jsd.betas, rsd.betas, rtol=1e-12)
     assert jsd.timestep_map == list(rsd.timestep_map)
+
+
+# -- 8. DiffSpec (spectrogram) VP-SDE -----------------------------------------
+#
+# The one core defense whose quirky math previously had no executed-
+# reference witness: continuous ``alphas_cumprod_cont``, ``disc_steps =
+# t*N`` with NO -1 (``improved_diffusion_sde.py:74-110``), unscaled g,
+# and ``image_editing_sample``'s grid ts=[1 - t/1000, 1 - 1e-5] run with
+# torchsde's DEFAULT dt=1e-3 (no dt passed, ``:194-204``) so the final
+# Euler step is clipped to dt - 1e-5.
+
+class _TinySpecNet(torch.nn.Module):
+    """Smallest exactly-mirrorable eps model: conv3x3 + sinusoidal step
+    scalar (stands in for the ref-golden-tested UNet — these tests verify
+    the SDE math, not the net)."""
+
+    def __init__(self):
+        super().__init__()
+        torch.manual_seed(5)
+        self.conv = torch.nn.Conv2d(1, 1, 3, padding=1)
+        self.w_t = torch.nn.Parameter(torch.tensor(0.03))
+
+    def forward(self, x, steps):
+        return self.conv(x) + self.w_t * torch.sin(
+            steps.float())[:, None, None, None]
+
+
+def _tiny_spec_pair():
+    tnet = _TinySpecNet().eval()
+    w = jnp.asarray(tnet.conv.weight.detach().numpy())   # (O, I, 3, 3)
+    b = jnp.asarray(tnet.conv.bias.detach().numpy())
+    wt = float(tnet.w_t.detach())
+
+    def jmodel(x, steps):  # x (B,1,32,32), steps (B,1) float
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW")) + b[None, :, None,
+                                                            None]
+        return y + wt * jnp.sin(steps)[:, :, None, None]
+
+    return tnet, jmodel
+
+
+def test_spec_sde_fg_match_reference(ref):
+    """f/g at the exact solver grid times vs ``RevSpecDiffusion._step_fg``
+    (ref ``improved_diffusion_sde.py:84-137``)."""
+    from audiopure_tpu.diffusion.vpsde import RevSpecDiffusion
+
+    tnet, jmodel = _tiny_spec_pair()
+    rsde = ref.spec_sde.RevVPSDE(model=tnet, score_type="guided_diffusion",
+                                 beta_min=0.1, beta_max=20, N=1000,
+                                 img_shape=(1, 32, 32))
+    jsde = RevSpecDiffusion(jmodel, N=1000, t=50, beta_min=0.1,
+                            beta_max=20.0)
+
+    rng = np.random.RandomState(8)
+    x = rng.randn(2, 1, 32, 32).astype(np.float32) * 0.4
+    # _solver_grid reproduces torchsde's f32 grid walk; evaluate the
+    # reference f/g at those SAME f32 taus (tau = 1 - t_phys).  k=1
+    # specifically exercises the f32 disc-truncation quirk (48, not 49).
+    taus, t_phys, hs, disc = jsde._solver_grid()
+    assert len(t_phys) == 50
+    # the f32 grid walk lands disc = t-k here (f32(f32(0.95)+f32(1e-3))
+    # rounds DOWN to 0.95099999, unlike the literal f32(0.951) whose
+    # 1-tau truncates to 48) — asserting the walk's values pins the
+    # torchsde-accumulation semantics
+    np.testing.assert_array_equal(np.asarray(disc[:4]), [50, 49, 48, 47])
+    assert abs(float(hs[-1]) - (1e-3 - 1e-5)) < 2e-6  # clipped final step
+    for k in [0, 1, 17, len(t_phys) - 1]:
+        tau = torch.tensor(taus[k], dtype=torch.float32)
+        xf = torch.from_numpy(x.reshape(2, -1))
+        with torch.no_grad():
+            f_ref = rsde.f(tau, xf).numpy().reshape(x.shape)
+            g_ref = rsde.g(tau, xf).numpy().reshape(x.shape)
+        f_j, g_j = jsde._step_fg(jnp.asarray(x), jnp.float32(t_phys[k]),
+                                 int(disc[k]))
+        np.testing.assert_allclose(np.asarray(f_j), f_ref,
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(
+            np.broadcast_to(np.asarray(g_j), x.shape), g_ref,
+            rtol=2e-5, atol=1e-7)
+
+
+def test_spec_sde_disc_step_indexing_no_minus_one(ref):
+    """The spec variant's disc index is floor(t*N) with NO -1 — unlike the
+    waveform variant's t*N - 1 (``improved_diffusion_sde.py:80-82,104``)."""
+    rsde = ref.spec_sde.RevVPSDE(model=_TinySpecNet(), beta_min=0.1,
+                                 beta_max=20, N=1000)
+    t = torch.tensor([0.95, 0.0425, 1.0])
+    want = rsde._scale_timesteps(t).numpy()
+    got = np.floor(np.asarray(t.numpy(), dtype=np.float32) * 1000
+                   ).astype(np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_spec_standardize_matches_reference(ref):
+    from audiopure_tpu.diffusion.vpsde import RevSpecDiffusion
+
+    sc09 = sys.modules["diffusion_models.Improved_Diffusion_Unconditional."
+                       "improved_diffusion.sc09_spectrogram_dataset"]
+    x = torch.linspace(-100.0, 38.22, 64)
+    want = sc09.melspec_standardize(x).numpy()
+    got = np.asarray(RevSpecDiffusion.standardize(jnp.asarray(x.numpy())))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    back = np.asarray(RevSpecDiffusion.inv_standardize(jnp.asarray(want)))
+    np.testing.assert_allclose(
+        back, sc09.melspec_inv_standardize(torch.from_numpy(want)).numpy(),
+        rtol=1e-6, atol=1e-5)
+
+
+def test_spec_sde_purify_trajectory_matches_reference(ref, monkeypatch):
+    """Full ``image_editing_sample`` trajectory (ref ``:173-221``) with
+    injected noise vs ``RevSpecDiffusion.__call__`` — executes the living
+    reference method (standardize -> q-jump with a[t-1] -> torchsde Euler
+    with default dt -> inverse-standardize) through the clean-room
+    fixed-step solver in the torchsde stub."""
+    import types as _types
+
+    from audiopure_tpu.diffusion.vpsde import RevSpecDiffusion
+
+    tnet, jmodel = _tiny_spec_pair()
+    t_star = 20
+    purifier = RevSpecDiffusion(jmodel, N=1000, t=t_star, beta_min=0.1,
+                                beta_max=20.0)
+
+    rng = np.random.RandomState(9)
+    spec = rng.uniform(-80.0, 20.0, size=(2, 1, 32, 32)).astype(np.float32)
+    key = jax.random.PRNGKey(21)
+    got = np.asarray(purifier(jnp.asarray(spec), key))
+
+    # replicate purify_once's PRNG layout: q-jump draw, then t step draws
+    k_noise, k_sde = jax.random.split(key)
+    draws = [np.asarray(jax.random.normal(k_noise, spec.shape,
+                                          dtype=jnp.float32))]
+    draws += [np.asarray(jax.random.normal(kk, spec.shape,
+                                           dtype=jnp.float32))
+              for kk in jax.random.split(k_sde, t_star)]
+    it = iter(draws)
+    monkeypatch.setattr(
+        torch, "randn_like", lambda x, **kw: torch.from_numpy(
+            np.asarray(next(it))).reshape(x.shape))
+
+    rsde = ref.spec_sde.RevVPSDE(model=tnet, score_type="guided_diffusion",
+                                 beta_min=0.1, beta_max=20, N=1000,
+                                 img_shape=(1, 32, 32))
+    shim = _types.SimpleNamespace(
+        args=_types.SimpleNamespace(sample_step=1, t=t_star, rand_t=False,
+                                    t_delta=0, use_bm=False),
+        device=torch.device("cpu"),
+        rev_vpsde=rsde,
+        betas=rsde.discrete_betas.float(),
+    )
+    with torch.no_grad():
+        want = ref.spec_sde.RevImprovedDiffusion.image_editing_sample(
+            shim, torch.from_numpy(spec)).numpy()
+
+    assert not np.allclose(want, spec)  # the purifier actually moved it
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
