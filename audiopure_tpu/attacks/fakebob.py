@@ -71,6 +71,7 @@ class FAKEBOB:
         eot_size: int = 1,
         eot_chunk: Optional[int] = None,
         threshold: Optional[float] = None,
+        loss_mode: str = "margin",
     ):
         self.task = task
         self.targeted = targeted
@@ -90,14 +91,45 @@ class FAKEBOB:
                 "threshold not specified for {} task; call "
                 "estimate_threshold first".format(task))
 
+        # loss_mode='margin' (default): the SEC4SR margin loss the
+        # FAKEBOB paper specifies — negative margin => success, so
+        # delete_found retirement and min-loss best-x bookkeeping work
+        # as designed.  loss_mode='ce_ref' reproduces the reference's
+        # ACTIVE resolve_loss dispatch for SCR (plain CE ascent,
+        # ``_utils.py:117-126``), under which delete_found never fires
+        # and best_adver_x stays at the first iterate — a reference bug
+        # chain, kept for exact trajectory parity (docs/PARITY.md).
+        assert loss_mode in ("margin", "ce_ref")
         self.loss_fn, self.grad_sign = resolve_loss(
-            "Margin", targeted, confidence, task, threshold, clip_max=False)
+            "Margin", targeted, confidence, task, threshold, clip_max=False,
+            ref_active=(loss_mode == "ce_ref"))
         self.nes = NES(model_fn, self.loss_fn, samples_per_draw,
                        samples_per_draw_batch_size, sigma, eot_size,
                        eot_chunk)
 
     # ------------------------------------------------------------------
+    def trajectory(self, x, y, key, n_iters: int):
+        """Debug/golden-test entry: run the SAME per-iteration body as
+        ``generate`` for exactly ``n_iters`` iterations as a scan,
+        returning per-iteration ``(x_evaluated, lr, active, success,
+        best_loss)`` stacks — lets parity tests diff full trajectories
+        against the reference's ``attack_batch`` loop."""
+        state, body, _ = self._setup(x, y, key)
+
+        def step(s, _):
+            s2 = body(s)
+            return s2, (s.adver_x, s2.lr, s2.active, s2.success,
+                        s2.best_loss)
+
+        final, stacks = jax.lax.scan(step, state, None, length=n_iters)
+        return final, stacks
+
     def _attack(self, x, y, key):
+        state, body, cond = self._setup(x, y, key)
+        final = jax.lax.while_loop(cond, body, state)
+        return final.best_adver_x, final.success
+
+    def _setup(self, x, y, key):
         B = x.shape[0]
         lower = jnp.clip(x - self.epsilon, min=-1.0)
         upper = jnp.clip(x + self.epsilon, max=1.0)
@@ -156,9 +188,13 @@ class FAKEBOB:
             new_x = jnp.clip(s.adver_x + step, lower, upper)
             adver_x = jnp.where(active[:, None, None], new_x, s.adver_x)
 
-            # early-stop on convergence every stop_early_iter iterations
+            # early-stop on convergence every stop_early_iter iterations —
+            # INCLUDING iter 0 (ref ``:117``: ``iter % stop_early_iter ==
+            # 0`` is true at 0, where prev_loss=inf just snapshots), so
+            # the first real retirement chance is iter stop_early_iter,
+            # not 2*stop_early_iter
             if self.stop_early:
-                check = (s.it % self.stop_early_iter == 0) & (s.it > 0)
+                check = s.it % self.stop_early_iter == 0
                 converged = (s.prev_loss * 0.9999 - res.mean_loss) < 0
                 active = jnp.where(check,
                                    jnp.logical_and(active, ~converged),
@@ -171,8 +207,7 @@ class FAKEBOB:
                                 best_loss, success, active, lr, ring,
                                 ring_n, prev_loss)
 
-        final = jax.lax.while_loop(cond, body, state)
-        return final.best_adver_x, final.success
+        return state, body, cond
 
     # ------------------------------------------------------------------
     def generate(self, x: jnp.ndarray, y: jnp.ndarray, key: jax.Array,

@@ -78,11 +78,29 @@ def margin_loss(
 
 def resolve_loss(loss_name: str = "Entropy", targeted: bool = False,
                  confidence: float = 0.0, task: str = "SCR",
-                 threshold=None, clip_max: bool = True):
+                 threshold=None, clip_max: bool = True,
+                 ref_active: bool = False):
     """Mirror of ``_utils.resolve_loss`` (ref ``:104-127``): returns
-    (per-sample loss fn, grad_sign)."""
+    (per-sample loss fn, grad_sign).
+
+    The reference's ACTIVE dispatch (``_utils.py:117-126``) forces plain
+    CrossEntropy with ``grad_sign = -1 if targeted else 1`` for the
+    'SCR' task REGARDLESS of ``loss_name`` — so FAKEBOB's
+    ``resolve_loss('Margin', ...)`` call actually runs CE *ascent*,
+    under which its ``delete_found`` retirement (margin < 0) never
+    fires and its min-loss best-x bookkeeping keeps the FIRST iterate
+    (the clean input).  ``ref_active=True`` reproduces that dispatch
+    exactly (trajectory-golden-tested in
+    ``tests/test_ref_parity_attacks.py``); the default follows the
+    reference's commented-out richer dispatch (``:105-113``) — the
+    SEC4SR margin loss the FAKEBOB paper specifies — treating SCR as a
+    closed-set CSI task.  See docs/PARITY.md.
+    """
     assert loss_name in ("Entropy", "Margin")
-    if loss_name == "Entropy":
+    if ref_active and task == "SCR":
+        loss_fn = cross_entropy
+        grad_sign = -1 if targeted else 1
+    elif loss_name == "Entropy":
         if task != "SCR":
             raise NotImplementedError(f"unsupported task yet: {task}!")
         loss_fn = cross_entropy
