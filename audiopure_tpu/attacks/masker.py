@@ -10,11 +10,23 @@ identification (local PSD maxima, +-1-bin smoothing) -> filtering (absolute
 threshold of hearing, then 0.5-bark proximity keeping the larger) ->
 two-slope spread functions -> global threshold.
 
-Deviation from the reference, on purpose: the bark-proximity filter indexes
-the bark scale by *masker frequency bin* (``bark[masker_idx[i]]``); the
-reference indexes by list position (``bark[i]``, ``white_box_attack.py:224``)
-which compares the bark values of the first few FFT bins regardless of
-where the maskers actually are.
+Deviations from the reference, on purpose (``ref_quirks=False`` default):
+
+* the bark-proximity filter indexes the bark scale by *masker frequency
+  bin* (``bark[masker_idx[i]]``); the reference indexes by list position
+  (``bark[i]``, ``white_box_attack.py:224``) — adjacent FFT bins are
+  always < 0.5 bark apart, so the reference treats every consecutive
+  masker pair as "close" and merges pairwise along the list instead of
+  by true bark distance (measured: it keeps ~2x the maskers; thresholds
+  differ by ~0.6 dB mean, up to ~49 dB locally, both directions);
+* on deleting the smaller ``i_prev``, the reference sets
+  ``i_prev = i_prev + 1`` (``:226``), which can point at a masker deleted
+  in an earlier step; we advance to the surviving ``i``.
+
+``ref_quirks=True`` reproduces both behaviors bit-exactly — golden-tested
+against the executed reference masker in
+``tests/test_ref_parity_masker.py``, which also quantifies the threshold
+delta between the two modes (docs/PARITY.md).
 """
 
 from __future__ import annotations
@@ -29,10 +41,11 @@ from audiopure_tpu.ops.stft import hann_window
 
 class PsychoacousticMasker:
     def __init__(self, window_size: int = 2048, hop_size: int = 512,
-                 sample_rate: int = 16000):
+                 sample_rate: int = 16000, ref_quirks: bool = False):
         self.window_size = window_size
         self.hop_size = hop_size
         self.sample_rate = sample_rate
+        self.ref_quirks = ref_quirks
         self._fft_frequencies: Optional[np.ndarray] = None
         self._bark: Optional[np.ndarray] = None
         self._ath: Optional[np.ndarray] = None
@@ -104,10 +117,17 @@ class PsychoacousticMasker:
         keep = np.ones(masker_idx.shape, dtype=bool)
         i_prev = 0
         for i in range(1, len(masker_idx)):
-            if self.bark[masker_idx[i]] - self.bark[masker_idx[i_prev]] < 0.5:
+            if self.ref_quirks:   # list-position bark indexing (ref :224)
+                close = self.bark[i] - self.bark[i_prev] < 0.5
+            else:                 # frequency-bin indexing (fixed)
+                close = (self.bark[masker_idx[i]]
+                         - self.bark[masker_idx[i_prev]]) < 0.5
+            if close:
                 if maskers[i_prev] < maskers[i]:
                     keep[i_prev] = False
-                    i_prev = i
+                    # ref :226 advances to i_prev+1 (may be deleted);
+                    # fixed mode advances to the surviving i
+                    i_prev = i_prev + 1 if self.ref_quirks else i
                 else:
                     keep[i] = False
             else:
