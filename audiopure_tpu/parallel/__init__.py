@@ -4,3 +4,8 @@ from audiopure_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_params_tp,
 )
+from audiopure_tpu.parallel.stats import (  # noqa: F401
+    collective_stats,
+    hlo_collective_stats,
+    tune_tp_layout,
+)
