@@ -224,6 +224,8 @@ class RevSpecDiffusion:
         beta_max: float = 20.0,
         grad_mode: str = "ref",
         remat: bool = True,
+        rand_t: bool = False,
+        t_delta: int = 0,
     ):
         self.N = int(N)
         self.t = int(t)
@@ -236,6 +238,15 @@ class RevSpecDiffusion:
         self.beta_1 = float(beta_max)
         self.grad_mode = grad_mode
         self.remat = remat
+        # rand_t: total_noise_levels = t + randint(-t_delta, t_delta)
+        # (ref ``image_editing_sample:188-190``, a HOST numpy draw there;
+        # here a traced draw over precomputed per-t solver grids so the
+        # whole purifier stays one compiled program)
+        self.rand_t = bool(rand_t)
+        self.t_delta = int(t_delta)
+        if self.rand_t and self.t_delta < 1:
+            raise ValueError("rand_t needs t_delta >= 1 "
+                             "(randint(-t_delta, t_delta))")
 
         betas = np.linspace(beta_min / N, beta_max / N, N, dtype=np.float64)
         self.alphas_cumprod = jnp.asarray(np.cumprod(1.0 - betas),
@@ -249,7 +260,7 @@ class RevSpecDiffusion:
     def inv_standardize(cls, x):
         return (x + 1.0) * (cls.MEL_UPPER - cls.MEL_LOWER) / 2.0 + cls.MEL_LOWER
 
-    def _solver_grid(self):
+    def _solver_grid(self, t: Optional[int] = None):
         """Host-side f32 replica of torchsde's fixed-step Euler grid.
 
         The reference passes NO ``dt`` (``improved_diffusion_sde.py:
@@ -262,11 +273,13 @@ class RevSpecDiffusion:
         requires doing it in f32, done here once at trace time (t is
         static).  Returns (t_phys[f32], h[f32 step sizes], disc[int32]).
         """
+        if t is None:
+            t = self.t
         one = np.float32(1.0)
         dt = np.float32(1e-3)          # torchsde default, NOT 1/N
         # t0/t1 are python-f64 expressions rounded once to f32 by
         # torch.linspace (ref :194-197)
-        tau = np.float32(1.0 - self.t * 1.0 / self.N)
+        tau = np.float32(1.0 - t * 1.0 / self.N)
         t1 = np.float32(1.0 - 1e-5)
         taus, hs = [], []
         while tau < t1:
@@ -295,30 +308,65 @@ class RevSpecDiffusion:
         g = jnp.sqrt(beta_t)
         return f, g
 
+    def _stacked_grids(self):
+        """Per-candidate-t solver grids, padded to a common length.
+
+        Returns (t_values, t_phys (T, S), hs (T, S), disc (T, S),
+        valid (T, S)) where T = number of candidate noise levels
+        (1 without rand_t; 2*t_delta with it) and S = max step count.
+        Padded steps carry h=0/valid=False and are no-ops in the scan.
+        """
+        ts = ([self.t + d for d in range(-self.t_delta, self.t_delta)]
+              if self.rand_t else [self.t])
+        grids = [self._solver_grid(t) for t in ts]
+        S = max(len(g[1]) for g in grids)
+
+        def padded(arr, fill):
+            out = np.full((S,), fill, dtype=arr.dtype)
+            out[: len(arr)] = arr
+            return out
+
+        t_phys = np.stack([padded(g[1], 0.0) for g in grids])
+        hs = np.stack([padded(g[2], 0.0) for g in grids])
+        disc = np.stack([padded(g[3], 0) for g in grids])
+        valid = np.stack([padded(np.ones(len(g[1]), bool), False)
+                          for g in grids])
+        return ts, t_phys, hs, disc, valid
+
     def purify_once(self, spec01: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
-        k_noise, k_sde = jax.random.split(key)
-        abar = self.alphas_cumprod[self.t - 1]
+        k_noise, k_sde, k_t = jax.random.split(key, 3)
+        ts, t_phys, hs, disc, valid = self._stacked_grids()
+        if self.rand_t:
+            row = jax.random.randint(k_t, (), 0, len(ts))
+            t_drawn = self.t + row - self.t_delta
+        else:
+            row = jnp.asarray(0)
+            t_drawn = jnp.asarray(self.t)
+        abar = self.alphas_cumprod[t_drawn - 1]
         e = jax.random.normal(k_noise, spec01.shape, dtype=spec01.dtype)
         x = jnp.sqrt(abar) * spec01 + jnp.sqrt(1.0 - abar) * e
 
         # exact torchsde grid (f32 walk, final step clipped at 1 - 1e-5,
-        # f32-truncated disc indices) — see _solver_grid
-        _, t_phys, hs, disc = self._solver_grid()
+        # f32-truncated disc indices) — see _solver_grid; with rand_t the
+        # drawn row selects among the stacked per-t grids and padded
+        # steps are masked no-ops
+        tp_r = jnp.asarray(t_phys)[row]
+        hs_r = jnp.asarray(hs)[row]
+        disc_r = jnp.asarray(disc)[row]
+        valid_r = jnp.asarray(valid)[row]
 
         def step(carry, inp):
             xk = carry
-            tp, h, dk, kk = inp
+            tp, h, dk, ok, kk = inp
             f, g = self._step_fg(xk, tp, dk)
             z = jax.random.normal(kk, xk.shape, dtype=xk.dtype)
-            return xk + f * h + g * jnp.sqrt(h) * z, None
+            x_next = xk + f * h + g * jnp.sqrt(h) * z
+            return jnp.where(ok, x_next, xk), None
 
         if self.remat:
             step = jax.checkpoint(step)
-        ks = jax.random.split(k_sde, len(t_phys))
-        x0, _ = jax.lax.scan(
-            step, x, (jnp.asarray(t_phys), jnp.asarray(hs),
-                      jnp.asarray(disc), ks)
-        )
+        ks = jax.random.split(k_sde, tp_r.shape[0])
+        x0, _ = jax.lax.scan(step, x, (tp_r, hs_r, disc_r, valid_r, ks))
         return x0
 
     def __call__(self, spec: jnp.ndarray, key: jax.Array) -> jnp.ndarray:

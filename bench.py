@@ -44,6 +44,19 @@ EOT_ITERS = int(os.environ.get("BENCH_EOT_ITERS", "10"))
 # => ~25 ms/utt-iter on A100 (see docs/BENCH.md baseline section).
 A100_REFERENCE_EOT_MS = 25.0
 
+# Full reference EOT config probe (the flagship attack workload:
+# eot_attack = eot_defense = 15, adaptive_attack_eval.py:142-149).
+# Per-REPLICA baseline is the same 25 ms (each replica costs one
+# defense-fwd + one attack fwd/bwd pair on A100). share_eot reuses the
+# gradient pass's forward scores for the prediction bookkeeping (same
+# estimator/replica count, docs/PARITY.md) — ~2x fewer purifications.
+FULL_EOT_PROBE = os.environ.get("BENCH_FULL_EOT", "1") == "1"
+FULL_EOT_SIZE = int(os.environ.get("BENCH_FULL_EOT_SIZE", "15"))
+FULL_EOT_CHUNK = int(os.environ.get("BENCH_FULL_EOT_CHUNK", "15"))
+FULL_EOT_SHARE = os.environ.get("BENCH_FULL_EOT_SHARE", "1") == "1"
+FULL_EOT_BATCH = int(os.environ.get("BENCH_FULL_EOT_BATCH", "8"))
+FULL_EOT_ITERS = int(os.environ.get("BENCH_FULL_EOT_ITERS", "3"))
+
 
 def main():
     import jax
@@ -178,6 +191,45 @@ def main():
                 A100_REFERENCE_EOT_MS / ms_per_utt_iter, 3)
         except Exception as e:  # pragma: no cover - keep the headline
             print(f"EOT probe failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    # --- FULL EOT 15x15 probe: the reference flagship attack config -----
+    if FULL_EOT_PROBE:
+        try:
+            from audiopure_tpu.attacks import AudioAttack
+
+            model_fn = lambda xx, kk: system(xx, key=kk)
+            E = FULL_EOT_SIZE
+            atk15 = AudioAttack(model_fn, eps=0.002, norm="linf",
+                                max_iter_1=FULL_EOT_ITERS,
+                                learning_rate_1=0.002 / 5,
+                                eot_attack_size=E, eot_defense_size=E,
+                                eot_chunk=FULL_EOT_CHUNK,
+                                share_eot=FULL_EOT_SHARE)
+            xa = x[:FULL_EOT_BATCH]
+            ya = jnp.zeros((FULL_EOT_BATCH,), dtype=jnp.int32)
+            out = atk15.generate(xa, ya, jax.random.PRNGKey(19))
+            float(jnp.abs(out[0] - xa).max())    # airtight barrier
+            times = []
+            for rep in range(2):
+                t0 = time.perf_counter()
+                out = atk15.generate(xa, ya, jax.random.PRNGKey(20 + rep))
+                dmax = float(jnp.abs(out[0] - xa).max())
+                times.append(time.perf_counter() - t0)
+                if not (dmax > 0 or bool(out[1][0].all())):
+                    raise RuntimeError("full-EOT probe did not move input")
+            ms_utt_iter = min(times) * 1e3 / (FULL_EOT_BATCH
+                                              * FULL_EOT_ITERS)
+            record["eot15_ms_per_utt_iter"] = round(ms_utt_iter, 1)
+            record["eot15_ms_per_utt_iter_replica"] = round(
+                ms_utt_iter / E, 2)
+            record["eot15_vs_baseline"] = round(
+                A100_REFERENCE_EOT_MS / (ms_utt_iter / E), 3)
+            record["eot15_config"] = {
+                "eot": E, "chunk": FULL_EOT_CHUNK,
+                "share_eot": FULL_EOT_SHARE, "batch": FULL_EOT_BATCH}
+        except Exception as e:  # pragma: no cover - keep the headline
+            print(f"full-EOT probe failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
     print(json.dumps(record))

@@ -266,7 +266,9 @@ def build_defender(args, audio_length: int = 16000):
         eps_fn = lambda x, t: net.apply(params, x, t.reshape(-1))
         defender = RevSpecDiffusion(eps_fn, t=args.t,
                                     sample_step=args.sample_step,
-                                    grad_mode=args.grad_mode)
+                                    grad_mode=args.grad_mode,
+                                    rand_t=getattr(args, "rand_t", False),
+                                    t_delta=getattr(args, "t_delta", 0))
         return defender, "spec", True
     if name in ("AT", "AS", "MS", "QT", "BDR"):
         from audiopure_tpu.defenses import TimeDomainDefense

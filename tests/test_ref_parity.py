@@ -672,7 +672,7 @@ def test_spec_sde_purify_trajectory_matches_reference(ref, monkeypatch):
     got = np.asarray(purifier(jnp.asarray(spec), key))
 
     # replicate purify_once's PRNG layout: q-jump draw, then t step draws
-    k_noise, k_sde = jax.random.split(key)
+    k_noise, k_sde, _ = jax.random.split(key, 3)
     draws = [np.asarray(jax.random.normal(k_noise, spec.shape,
                                           dtype=jnp.float32))]
     draws += [np.asarray(jax.random.normal(kk, spec.shape,

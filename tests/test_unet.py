@@ -78,3 +78,35 @@ def test_diffspec_purifier_with_unet():
     assert np.isfinite(np.asarray(out)).all()
     # output is back in dB range, not [-1, 1]
     assert np.abs(np.asarray(out)).max() > 2.0
+
+
+def test_spec_purifier_rand_t():
+    """rand_t draws the noise level per call (ref image_editing_sample
+    :188-190) — one compiled program over stacked per-t solver grids."""
+    import pytest
+
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (1, 1, 3, 3)) * 0.1
+
+    def eps_fn(x, t):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+    pur = RevSpecDiffusion(eps_fn, N=1000, t=20, rand_t=True, t_delta=5)
+    spec = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 32, 32),
+                              minval=-80.0, maxval=20.0)
+    out1 = jax.jit(pur.__call__)(spec, jax.random.PRNGKey(2))
+    out2 = jax.jit(pur.__call__)(spec, jax.random.PRNGKey(3))
+    assert out1.shape == spec.shape
+    assert np.isfinite(np.asarray(out1)).all()
+    assert np.abs(np.asarray(out1) - np.asarray(out2)).max() > 1e-3
+
+    # rand_t=False path must agree with the plain grid exactly
+    pur0 = RevSpecDiffusion(eps_fn, N=1000, t=20)
+    a = np.asarray(pur0(spec, jax.random.PRNGKey(4)))
+    ts, t_phys, hs, disc, valid = pur0._stacked_grids()
+    assert ts == [20] and bool(valid.all())
+
+    with pytest.raises(ValueError):
+        RevSpecDiffusion(eps_fn, rand_t=True, t_delta=0)
