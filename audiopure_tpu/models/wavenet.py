@@ -141,6 +141,11 @@ class WaveNet(nn.Module):
     dtype: Any = jnp.float32
     conv_impl: str = "xla"  # {'xla', 'matmul'} — same params either way
     weight_norm: bool = False  # torch-style WN for training parity
+    # per-block gradient checkpointing: without it the full 36x256 train
+    # step stores every block's (B, L, 2C) activations and OOMs at
+    # batch 16 on one v5e (measured 17.5G of 15.75G HBM); remat keeps
+    # only block-boundary states (~4.7G) for ~4/3 the forward FLOPs
+    remat: bool = False
 
     @nn.compact
     def __call__(self, audio: jnp.ndarray,
@@ -161,9 +166,11 @@ class WaveNet(nn.Module):
                               dtype=self.dtype), self.weight_norm)(x)
         h = nn.relu(h)
 
+        block_cls = nn.remat(ResidualBlock) if self.remat \
+            else ResidualBlock
         skip_sum = 0.0
         for n in range(self.num_res_layers):
-            h, skip = ResidualBlock(
+            h, skip = block_cls(
                 res_channels=self.res_channels,
                 skip_channels=self.skip_channels,
                 dilation=2 ** (n % self.dilation_cycle),

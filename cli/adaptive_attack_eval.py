@@ -42,6 +42,10 @@ def add_attack_args(parser):
                    help="stage-1 iterations (PGD); also the Square/SPSA "
                         "iteration budget")
     a.add_argument("--max_iter_2", type=int, default=0)
+    a.add_argument("--masker_ref_quirks", action="store_true",
+                   help="stage-2 masker reproduces the reference's "
+                        "bark-filter quirks exactly (docs/PARITY.md) "
+                        "instead of the fixed frequency-bin indexing")
     a.add_argument("--eot_attack_size", type=int, default=1)
     a.add_argument("--eot_defense_size", type=int, default=1)
     a.add_argument("--eot_batch_size", type=int, default=None,
@@ -70,7 +74,9 @@ def build_attacker(args, model_fn, predict_model_fn=None):
             eot_attack_size=args.eot_attack_size,
             eot_defense_size=args.eot_defense_size,
             eot_chunk=args.eot_batch_size,
-            masker=PsychoacousticMasker() if args.max_iter_2 > 0 else None,
+            masker=PsychoacousticMasker(
+                ref_quirks=getattr(args, "masker_ref_quirks", False))
+            if args.max_iter_2 > 0 else None,
             predict_model_fn=predict_model_fn,
             share_eot=getattr(args, "share_eot", False))
         print(f"attack: PGD with {args.bound_norm}_eps={args.eps} & "

@@ -32,6 +32,12 @@ def main(argv=None):
     parser.add_argument("--n_iters", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--output_directory", default=None)
+    parser.add_argument("--remat", action="store_true",
+                        help="per-block gradient checkpointing (needed "
+                             "for the full 36x256 model at batch >= 16 "
+                             "on one v5e: without it the step OOMs)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 compute (f32 params)")
     parser.add_argument("--weight_norm", action="store_true",
                         help="torch-style weight normalization on the "
                              "convs (the reference's training "
@@ -93,9 +99,11 @@ def main(argv=None):
                             seed=args.seed)
 
     net = make_wavenet(cfg.wavenet)
-    if args.weight_norm:
+    if args.weight_norm or args.remat or args.bf16:
         import dataclasses
-        net = dataclasses.replace(net, weight_norm=True)
+        net = dataclasses.replace(
+            net, weight_norm=args.weight_norm, remat=args.remat,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     key = jax.random.PRNGKey(args.seed)
     x0 = jnp.zeros((1, 1, seg))
     params = net.init(key, x0, jnp.zeros((1, 1)))

@@ -180,24 +180,27 @@ def main():
                             loss_after=round(lossN, 4))
             return run
 
+        net_remat = WaveNet(dtype=jnp.bfloat16, remat=True)
         xla_apply = lambda p, xx, tt: net.apply(p, xx, tt).astype(
+            jnp.float32)
+        remat_apply = lambda p, xx, tt: net_remat.apply(p, xx, tt).astype(
             jnp.float32)
         pallas_apply = lambda p, xx, tt: wavenet_forward_pallas_grad(
             p, xx, tt, dtype=jnp.bfloat16).astype(jnp.float32)
-        probe("train_xla", train_probe(xla_apply, "xla"), results)
-        probe("train_pallas_vjp", train_probe(pallas_apply, "pallas"),
+        # full autodiff at B=16 OOMs (measured 17.5G of 15.75G) — the
+        # remat variant is the production path; no-remat probed at B=8
+        probe("train_xla_remat", train_probe(remat_apply, "xla_remat"),
               results)
+        if B <= 8:
+            probe("train_xla", train_probe(xla_apply, "xla"), results)
+            probe("train_pallas_vjp", train_probe(pallas_apply, "pallas"),
+                  results)
 
         # falling-loss evidence on the better path (XLA autodiff unless
         # the kernel path won)
         def curve():
-            best = "train_pallas_vjp" if results.get(
-                "train_pallas_vjp", {}).get("steps_per_sec", 0) > \
-                results.get("train_xla", {}).get("steps_per_sec", 1e9) \
-                else "train_xla"
-            apply_fn = pallas_apply if best == "train_pallas_vjp" \
-                else xla_apply
-            step_fn = jax.jit(make_train_step(apply_fn, sched, opt),
+            best = "train_xla_remat"
+            step_fn = jax.jit(make_train_step(remat_apply, sched, opt),
                               donate_argnums=0)
             state = init_train_state(wparams, opt, jax.random.PRNGKey(12))
             losses = []

@@ -170,3 +170,28 @@ def test_wavenet_jit_and_grad(nets):
     f = jax.jit(lambda p, x: jnp.sum(net.apply(p, x, steps) ** 2))
     g = jax.grad(f, argnums=1)(params, x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_remat_matches_plain_forward_and_grad():
+    """remat=True is numerically transparent: same outputs/grads, only
+    the autodiff memory schedule changes (per-block checkpointing)."""
+    net = WaveNet(res_channels=8, skip_channels=8, num_res_layers=4,
+                  dilation_cycle=2, diffusion_step_embed_dim_in=16,
+                  diffusion_step_embed_dim_mid=32,
+                  diffusion_step_embed_dim_out=32)
+    import dataclasses
+    net_r = dataclasses.replace(net, remat=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 256)) * 0.3
+    t = jnp.asarray([[3.0], [17.0]])
+    params = net.init(jax.random.PRNGKey(1), x, t)
+    # param trees interchangeable
+    out = net.apply(params, x, t)
+    out_r = net_r.apply(params, x, t)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out),
+                               rtol=1e-6, atol=1e-6)
+    g = jax.grad(lambda p: jnp.sum(net.apply(p, x, t) ** 2))(params)
+    g_r = jax.grad(lambda p: jnp.sum(net_r.apply(p, x, t) ** 2))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g),
+                    jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
