@@ -255,7 +255,10 @@ def build_defender(args, audio_length: int = 16000):
         from audiopure_tpu.diffusion.vpsde import RevSpecDiffusion
         from audiopure_tpu.models.unet import create_unet
 
-        net = create_unet()
+        spec_dtype = jnp.bfloat16 if getattr(args, "compute_dtype",
+                                             "f32") == "bf16" \
+            else jnp.float32
+        net = create_unet(dtype=spec_dtype)
         if args.ddpm_path:
             params, _ = ckpt_lib.load_model(args.ddpm_path)
         else:
@@ -263,7 +266,8 @@ def build_defender(args, audio_length: int = 16000):
             params = jax.jit(net.init)(jax.random.PRNGKey(0), x0,
                                        jnp.zeros((1,)))
             print("WARNING: no --ddpm_path; using random-init UNet")
-        eps_fn = lambda x, t: net.apply(params, x, t.reshape(-1))
+        eps_fn = lambda x, t: net.apply(params, x, t.reshape(-1)).astype(
+            jnp.float32)
         defender = RevSpecDiffusion(eps_fn, t=args.t,
                                     sample_step=args.sample_step,
                                     grad_mode=args.grad_mode,

@@ -247,31 +247,64 @@ def main():
     if "unet" in STAGES:
         from audiopure_tpu.models.unet import create_unet
 
-        unet = create_unet()
-        uvars = jax.jit(unet.init)(jax.random.PRNGKey(4),
-                                   jnp.zeros((1, 1, 32, 32)),
-                                   jnp.zeros((1,)))
+        def unet_probe(dtype, Bu):
+            def run():
+                unet = create_unet(dtype=dtype)
+                uvars = jax.jit(unet.init)(jax.random.PRNGKey(4),
+                                           jnp.zeros((1, 1, 32, 32)),
+                                           jnp.zeros((1,)))
+                s = jax.random.normal(jax.random.PRNGKey(5),
+                                      (Bu, 1, 32, 32))
+                tt = jnp.full((Bu,), 10.0)
+                fwd = jax.jit(lambda ss: unet.apply(uvars, ss, tt))
+                try:
+                    ca = fwd.lower(s).compile().cost_analysis()
+                    flops = float(ca.get("flops", 0.0))
+                except Exception:
+                    flops = 0.0
+                t = timeit(fwd, s)
+                out = dict(ms_per_batch=round(t * 1e3, 2), batch=Bu,
+                           xla_flops_per_batch=flops,
+                           dtype=str(dtype.__name__))
+                if flops:
+                    out["tflops"] = round(flops / t / 1e12, 1)
+                    out["pct_bf16_peak"] = round(
+                        100 * flops / t / 1e12 / 197.0, 1)
+                return out
+            return run
 
-        def unet_probe():
-            Bu = 64
-            s = jax.random.normal(jax.random.PRNGKey(5), (Bu, 1, 32, 32))
-            tt = jnp.full((Bu,), 10.0)
-            fwd = jax.jit(lambda ss: unet.apply(uvars, ss, tt))
-            try:
-                ca = fwd.lower(s).compile().cost_analysis()
-                flops = float(ca.get("flops", 0.0))
-            except Exception:
-                flops = 0.0
-            t = timeit(fwd, s)
-            out = dict(ms_per_batch=round(t * 1e3, 2), batch=Bu,
-                       xla_flops_per_batch=flops)
-            if flops:
-                out["tflops"] = round(flops / t / 1e12, 1)
-                out["pct_bf16_peak"] = round(
-                    100 * flops / t / 1e12 / 197.0, 1)
-            return out
+        for dt, Bu in [(jnp.float32, 64), (jnp.bfloat16, 64),
+                       (jnp.bfloat16, 256)]:
+            probe(f"unet_forward_{dt.__name__}_b{Bu}", unet_probe(dt, Bu),
+                  results)
 
-        probe("unet_forward", unet_probe, results)
+        # DiffSpec PGD in bf16 (round-2 datapoint was f32: 30.0
+        # ms/utt-iter) — the full attack workload with the bf16 UNet
+        def diffspec_bf16_probe():
+            from audiopure_tpu.diffusion.vpsde import RevSpecDiffusion
+
+            unet = create_unet(dtype=jnp.bfloat16)
+            uvars = jax.jit(unet.init)(jax.random.PRNGKey(4),
+                                       jnp.zeros((1, 1, 32, 32)),
+                                       jnp.zeros((1,)))
+            ueps = lambda s, t: unet.apply(uvars, s, t.reshape(-1)).astype(
+                jnp.float32)
+            spec_def = RevSpecDiffusion(ueps, t=50)
+            sys_spec = AcousticSystem(classifier, fe, spec_def, "spec",
+                                      defender_stochastic=True)
+            Bs, ITR = 8, 5
+            xs = jax.random.normal(jax.random.PRNGKey(5),
+                                   (Bs, 1, 16000)) * 0.1
+            ys = jnp.zeros((Bs,), jnp.int32)
+            atk = AudioAttack(lambda xx, kk: sys_spec(xx, key=kk),
+                              eps=0.002, max_iter_1=ITR,
+                              learning_rate_1=0.0004)
+            t = timeit(lambda: atk.generate(xs, ys,
+                                            jax.random.PRNGKey(6))[0])
+            return dict(ms_per_utt_iter=round(t * 1e3 / (Bs * ITR), 2),
+                        batch=Bs, iters=ITR, t_spec=50, dtype="bf16")
+
+        probe("diffspec_pgd_bf16", diffspec_bf16_probe, results)
 
         # KWS bucket forward FLOPs for the L=24000 baseline denominator
         def kws_flops_probe():
