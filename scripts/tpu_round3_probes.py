@@ -161,8 +161,11 @@ def main():
             def run():
                 step_fn = jax.jit(make_train_step(apply_fn, sched, opt),
                                   donate_argnums=0)
-                state = init_train_state(wparams, opt,
-                                         jax.random.PRNGKey(11))
+                # donation consumes the state's buffers — give each probe
+                # its own copy of the shared param tree
+                state = init_train_state(
+                    jax.tree_util.tree_map(jnp.copy, wparams), opt,
+                    jax.random.PRNGKey(11))
                 state, loss = step_fn(state, x0)   # compile + warm
                 loss0 = float(loss)
                 t0 = time.perf_counter()
@@ -202,7 +205,9 @@ def main():
             best = "train_xla_remat"
             step_fn = jax.jit(make_train_step(remat_apply, sched, opt),
                               donate_argnums=0)
-            state = init_train_state(wparams, opt, jax.random.PRNGKey(12))
+            state = init_train_state(
+                jax.tree_util.tree_map(jnp.copy, wparams), opt,
+                jax.random.PRNGKey(12))
             losses = []
             for i in range(201):
                 state, loss = step_fn(state, x0)
@@ -306,24 +311,24 @@ def main():
 
         probe("diffspec_pgd_bf16", diffspec_bf16_probe, results)
 
-        # KWS bucket forward FLOPs for the L=24000 baseline denominator
-        def kws_flops_probe():
-            xk = jax.random.normal(jax.random.PRNGKey(6), (4, 1, 24000))
-            fwd = jax.jit(lambda xx: wavenet_forward_pallas(
-                wparams, xx, jnp.zeros((4, 1)), dtype=jnp.bfloat16))
-            try:
-                ca = fwd.lower(xk).compile().cost_analysis()
-                flops = float(ca.get("flops", 0.0))
-            except Exception:
-                flops = 0.0
-            t = timeit(fwd, xk)
-            out = dict(ms_per_batch4=round(t * 1e3, 2),
-                       xla_flops_per_batch=flops)
-            if flops:
-                out["tflops"] = round(flops / t / 1e12, 1)
-            return out
+        # KWS bucket (L=24000, v4 fallback) batch scaling: analytic
+        # 0.906 TFLOP per forward per utterance
+        def kws_fwd_probe(Bk):
+            def run():
+                xk = jax.random.normal(jax.random.PRNGKey(6),
+                                       (Bk, 1, 24000))
+                wp = jax.tree_util.tree_map(jnp.copy, wparams)
+                fwd = jax.jit(lambda xx: wavenet_forward_pallas(
+                    wp, xx, jnp.zeros((Bk, 1)), dtype=jnp.bfloat16))
+                t = timeit(fwd, xk)
+                tf = 0.906 * Bk / t
+                return dict(ms_per_batch=round(t * 1e3, 2), batch=Bk,
+                            tflops=round(tf, 1),
+                            pct_bf16_peak=round(100 * tf / 197.0, 1))
+            return run
 
-        probe("kws_bucket_forward", kws_flops_probe, results)
+        for Bk in (4, 8, 16):
+            probe(f"kws_bucket_forward_b{Bk}", kws_fwd_probe(Bk), results)
 
     print(json.dumps({"summary": results}), flush=True)
 
