@@ -62,6 +62,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:  # persistent compile cache: repeat runs skip the 5-15 min
+        # remote compiles (harmless if the backend ignores it)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)),
+                              ".jax_tpu_cache"))
+    except Exception:
+        pass
+
     from audiopure_tpu import AcousticSystem
     from audiopure_tpu.diffusion.vpsde import RevDiffWave
     from audiopure_tpu.models import create_classifier
