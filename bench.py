@@ -55,7 +55,10 @@ FULL_EOT_SIZE = int(os.environ.get("BENCH_FULL_EOT_SIZE", "15"))
 FULL_EOT_CHUNK = int(os.environ.get("BENCH_FULL_EOT_CHUNK", "15"))
 FULL_EOT_SHARE = os.environ.get("BENCH_FULL_EOT_SHARE", "1") == "1"
 FULL_EOT_BATCH = int(os.environ.get("BENCH_FULL_EOT_BATCH", "8"))
-FULL_EOT_ITERS = int(os.environ.get("BENCH_FULL_EOT_ITERS", "3"))
+# 5 iters: the trailing prediction pass (one defense EOT after the
+# loop, ref :426) is ~half an iteration of work — at 3 iters it
+# inflates ms/utt-iter by ~17% vs the 70-iter production amortization
+FULL_EOT_ITERS = int(os.environ.get("BENCH_FULL_EOT_ITERS", "5"))
 
 
 def main():

@@ -287,3 +287,44 @@ def test_train_kws_cli(tmp_path):
                  "--checkpoint_dir", str(tmp_path / "ckpt")])
     assert 0.0 <= best <= 1.0
     assert os.path.isdir(str(tmp_path / "ckpt" / "best"))
+
+
+def test_adaptive_attack_eval_cli_share_eot(data_root, clf_ckpt):
+    """--share_eot with equal EOT sizes runs the shared-stack PGD path
+    end-to-end; on the deterministic AS defense the accounting matches
+    the two-stack run exactly (same point, same scores)."""
+    from cli.adaptive_attack_eval import main
+
+    common = ["--data_path", str(data_root / "valid"),
+              "--num_per_class", "1", "--batch_size", "10",
+              "--classifier_path", clf_ckpt, "--defense", "AS",
+              "--attack", "PGD", "--max_iter_1", "2", "--eps", "0.02",
+              "--eot_attack_size", "2", "--eot_defense_size", "2"]
+    res_paired = main(common)
+    res_shared = main(common + ["--share_eot"])
+    for k in ("total", "acc_orig", "acc_robust"):
+        assert res_paired[k] == res_shared[k], (k, res_paired, res_shared)
+
+
+def test_diffwave_train_cli_remat_bf16(data_root, tmp_path):
+    """--remat --bf16 training path (the on-chip batch-16 recipe)."""
+    from cli.diffwave_train import main as dw_main
+
+    cfg = dict(
+        diffusion_config=dict(T=20, beta_0=1e-4, beta_T=0.02),
+        wavenet_config=dict(
+            in_channels=1, res_channels=8, skip_channels=8, out_channels=1,
+            num_res_layers=2, dilation_cycle=2,
+            diffusion_step_embed_dim_in=16, diffusion_step_embed_dim_mid=32,
+            diffusion_step_embed_dim_out=32),
+        train_config=dict(iters_per_ckpt=3, iters_per_logging=2, n_iters=3,
+                          learning_rate=2e-4, batch_size_per_gpu=2,
+                          output_directory=str(tmp_path / "dw_remat")),
+        trainset_config=dict(data_path=str(data_root / "train"),
+                             segment_length=16000, sampling_rate=16000),
+    )
+    cfg_path = str(tmp_path / "cfg_remat.json")
+    json.dump(cfg, open(cfg_path, "w"))
+    loss = dw_main(["-c", cfg_path, "--batch_size", "4", "--dp", "4", "--tp", "2",
+                    "--remat", "--bf16"])
+    assert np.isfinite(loss)
