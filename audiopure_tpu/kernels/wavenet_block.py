@@ -496,7 +496,8 @@ def fused_residual_pair(
 
 
 @functools.partial(jax.jit, static_argnames=("dilation_cycle", "chunk_l",
-                                             "interpret", "gate_dtype"))
+                                             "interpret", "gate_dtype",
+                                             "hbm_io"))
 def fused_residual_stack(
     x: jnp.ndarray,          # (B, L, C) hidden state after init_conv
     t_biases: jnp.ndarray,   # (B, NL, C) per-layer timestep biases
@@ -510,9 +511,20 @@ def fused_residual_stack(
     chunk_l: int = 2000,
     interpret: bool = False,
     gate_dtype=None,
+    hbm_io: bool = False,
 ) -> jnp.ndarray:
     """ALL residual layers in ONE kernel — the (L, C) state never leaves
     VMEM (v5).
+
+    ``hbm_io=True`` (v5x) keeps the audio input and the skip output in
+    HBM (``memory_space=ANY``) and moves them with explicit DMAs instead
+    of auto-pipelined VMEM blocks.  That removes the double-buffered
+    in/out staging (~4 x L x C x itemsize bytes) from the resident
+    footprint, which is what blows the 128 MB VMEM ceiling at the 1.5 s
+    KWS bucket length (measured v5 OOM at L=24000: 160.59M of 128M).
+    The DMA cost is one (L, C) read + one (L, Cs) write per batch row —
+    a few microseconds against ~ms of MXU work, and only the c==0 /
+    c==last grid steps touch it.
 
     v4 still writes/reads the hidden state and skip accumulator at every
     fused-group boundary.  v5e has ~128 MB of VMEM (probed:
@@ -556,8 +568,11 @@ def fused_residual_stack(
                             memory_space=pltpu.VMEM)
 
     def kernel(x_ref, tb_ref, wd_ref, bd_ref, wres_ref, bres_ref,
-               wsk_ref, bsk_ref, out_ref, xa, xb, skip):
+               wsk_ref, bsk_ref, out_ref, xa, xb, skip, *dma_sems):
         c = pl.program_id(1)
+        # hoisted: program_id is not lowerable inside pl.when's cond body
+        # on the interpret path
+        b = pl.program_id(0) if hbm_io else None
 
         @pl.when(c == 0)
         def _init():
@@ -565,7 +580,13 @@ def fused_residual_stack(
             xa[margin + L:] = jnp.zeros((margin, C), dtype)
             xb[:margin] = jnp.zeros((margin, C), dtype)
             xb[margin + L:] = jnp.zeros((margin, C), dtype)
-            xa[margin: margin + L] = x_ref[0]
+            if hbm_io:
+                dma_in = pltpu.make_async_copy(
+                    x_ref.at[b], xa.at[pl.ds(margin, L)], dma_sems[0])
+                dma_in.start()
+                dma_in.wait()
+            else:
+                xa[margin: margin + L] = x_ref[0]
             skip[:] = jnp.zeros((L, skip_ch), dtype)
 
         for j in range(cyc):
@@ -627,25 +648,41 @@ def fused_residual_stack(
 
         @pl.when(c == n_cycles - 1)
         def _out():
-            out_ref[0] = skip[:].astype(out_ref.dtype)
+            if hbm_io:
+                dma_out = pltpu.make_async_copy(
+                    skip, out_ref.at[b], dma_sems[1])
+                dma_out.start()
+                dma_out.wait()
+            else:
+                out_ref[0] = skip[:].astype(out_ref.dtype)
+
+    if hbm_io:
+        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        out_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        sem_scratch = [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
+    else:
+        x_spec = pl.BlockSpec((1, L, C), lambda b, c: (b, 0, 0))
+        out_spec = pl.BlockSpec((1, L, skip_ch), lambda b, c: (b, 0, 0))
+        sem_scratch = []
 
     skip_out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, L, C), lambda b, c: (b, 0, 0)),        # x
+            x_spec,                                                 # x
             # (B, n_cycles, cyc, C): the Mosaic block-shape rule needs the
             # last two block dims to equal the array dims
             pl.BlockSpec((1, 1, cyc, C), lambda b, c: (b, c, 0, 0)),
             wspec(3, C, C2), bspec(C2), wspec(C, C), bspec(C),
             wspec(C, skip_ch), bspec(skip_ch),
         ],
-        out_specs=pl.BlockSpec((1, L, skip_ch), lambda b, c: (b, 0, 0)),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, L, skip_ch), dtype),
         scratch_shapes=[
             pltpu.VMEM((rows, C), dtype),           # xa
             pltpu.VMEM((rows, C), dtype),           # xb
             pltpu.VMEM((L, skip_ch), dtype),        # skip accumulator
+            *sem_scratch,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -662,6 +699,25 @@ def v5_vmem_est_mb(L: int, itemsize: int) -> float:
     """Resident-footprint estimate of the v5 whole-net kernel, calibrated
     at L=16000 bf16 (~104 MB state/blocks + ~13 MB cycle weights)."""
     return (104.0 * L / 16000.0 + 13.0) * (itemsize / 2.0)
+
+
+def v5x_vmem_est_mb(L: int, itemsize: int, C: int = 256,
+                    skip_ch: int = 256, cyc: int = 12,
+                    chunk_l: int = 4000) -> float:
+    """Resident-footprint estimate for the hbm_io (v5x) whole-net kernel:
+    the v5 set minus the double-buffered (L, C)/(L, Cs) in/out staging
+    blocks.  Components: ping-pong state, skip accumulator, double-
+    buffered cycle weights, plus the per-chunk live set (f32 h, taps) and
+    a Mosaic padding/alignment allowance (the same ~1.35x slack observed
+    between the analytic v5 sum and its measured on-chip footprint)."""
+    margin = _halo(2 ** (cyc - 1))
+    mb = 1.0 / (1024 * 1024)
+    state = 2 * (L + 2 * margin) * C * itemsize * mb
+    skip = L * skip_ch * itemsize * mb
+    weights = 2 * cyc * (3 * C * 2 * C + C * C + C * skip_ch) \
+        * itemsize * mb
+    live = (chunk_l * 2 * C * 4 + 3 * chunk_l * C * itemsize) * mb
+    return (state + skip + weights + live) * 1.35
 
 
 def wavenet_stem(p, audio, diffusion_steps, embed_dim_in, dtype):
@@ -745,15 +801,27 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
     skip_ch = p["res_block_0"]["skip_conv"]["kernel"].shape[-1]
     L = h.shape[1]
 
+    hbm_io = False
     if block_impl == "v5" and num_res_layers % dilation_cycle == 0:
         # VMEM budget guard: the layer-resident state scales with L and
         # element size (ping-pong (2*margin+L, C) + skip + in/out blocks
         # ~= 104 MB at L=16000 bf16, plus ~13 MB cycle weights). Longer
         # audio (e.g. the 1.5 s KWS buckets) blows the 128 MB ceiling —
-        # measured OOM: "Used 160.59M of 128.00M" at L=24000 — and f32
-        # compute doubles every buffer, so fall back to v4.
-        if v5_vmem_est_mb(L, jnp.dtype(dtype).itemsize) > 118.0:
-            block_impl = "v4"
+        # measured OOM: "Used 160.59M of 128.00M" at L=24000. First
+        # resort: v5x (hbm_io) drops the double-buffered in/out staging
+        # from the resident set, which covers the KWS bucket lengths at
+        # bf16; only past THAT estimate fall all the way back to v4.
+        itemsize = jnp.dtype(dtype).itemsize
+        if v5_vmem_est_mb(L, itemsize) > 118.0:
+            skip_ch = p["res_block_0"]["skip_conv"]["kernel"].shape[-1]
+            c_res = p["res_block_0"]["res_conv"]["kernel"].shape[-2]
+            if v5x_vmem_est_mb(
+                    L, itemsize, C=c_res, skip_ch=skip_ch,
+                    cyc=dilation_cycle,
+                    chunk_l=pick_stack_chunk(L, chunk_l)) <= 118.0:
+                hbm_io = True
+            else:
+                block_impl = "v4"
     if block_impl == "v5" and num_res_layers % dilation_cycle == 0:
         # bf16 gate transcendentals by default under bf16 compute: on-chip
         # 87.7% vs 84.0% of bf16 peak, numerics at the same bf16-rounding
@@ -765,7 +833,7 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
         skip_sum = fused_residual_stack(
             h, *stack_in, dilation_cycle=dilation_cycle,
             chunk_l=pick_stack_chunk(L, chunk_l),
-            interpret=interpret, gate_dtype=gate_dtype)
+            interpret=interpret, gate_dtype=gate_dtype, hbm_io=hbm_io)
         return wavenet_head(p, skip_sum, num_res_layers)
 
     skip_sum = jnp.zeros((h.shape[0], h.shape[1], skip_ch), dtype=dtype)

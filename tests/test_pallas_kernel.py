@@ -309,8 +309,9 @@ def test_wavenet_pallas_grad_matches_xla_autodiff():
 
 def test_v5_long_audio_falls_back_within_vmem():
     """L beyond the layer-resident VMEM budget must not OOM: the v5 path
-    auto-falls back to v4 (measured on-chip OOM at L=24000: 160.59M of
-    128M). Correctness of the fallback checked against flax."""
+    re-dispatches (v5x hbm_io first, v4 past that; measured on-chip v5
+    OOM at L=24000: 160.59M of 128M). Correctness of the re-dispatch
+    checked against flax."""
     net = WaveNet(res_channels=16, skip_channels=16, num_res_layers=12,
                   dtype=jnp.float32)
     L = 24000
@@ -322,6 +323,39 @@ def test_v5_long_audio_falls_back_within_vmem():
         params, x, t, num_res_layers=12, dtype=jnp.float32,
         block_impl="v5", interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_full_forward_v5x_hbm_io_matches_flax():
+    """v5x (hbm_io whole-net kernel: input/skip in HBM, explicit DMAs
+    replacing the double-buffered staging blocks) == flax, including the
+    margin zeroing around the DMA'd input and the last-cycle skip DMA
+    out.  This is the production path for the 1.5 s KWS bucket length
+    (L=24000 bf16), where v5's resident set exceeds VMEM."""
+    from audiopure_tpu.kernels.wavenet_block import (
+        fused_residual_stack, wavenet_head, wavenet_stack_inputs,
+        wavenet_stem)
+
+    net, params = _net_and_params()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 1024)) * 0.3
+    t = jnp.asarray([[3.0], [17.0]])
+    want = np.asarray(net.apply(params, x, t))
+    p = params["params"]
+    emb, h = wavenet_stem(p, x, t, 16, jnp.float32)
+    stack_in = wavenet_stack_inputs(p, emb, 4, jnp.float32)
+    skip = fused_residual_stack(h, *stack_in, dilation_cycle=2,
+                                chunk_l=256, interpret=True, hbm_io=True)
+    got = np.asarray(wavenet_head(p, skip, 4))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_v5x_dispatch_at_kws_bucket_length():
+    """The dispatch table: bf16 L=24000 must select v5x (est 103.7 MB
+    <= 118), not the v4 fallback; f32 L=24000 stays v4 (est 196.9)."""
+    from audiopure_tpu.kernels.wavenet_block import (v5_vmem_est_mb,
+                                                     v5x_vmem_est_mb)
+    assert v5_vmem_est_mb(24000, 2) > 118.0          # v5 proper OOMs
+    assert v5x_vmem_est_mb(24000, 2) <= 118.0        # v5x fits
+    assert v5x_vmem_est_mb(24000, 4) > 118.0         # f32 falls to v4
 
 
 def test_v6_bf16_gate_default_matches_flax_bf16():
