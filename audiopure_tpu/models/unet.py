@@ -37,13 +37,19 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int,
     return emb
 
 
-def _group_norm(x, name=None):
+def _group_norm(x, dtype=None, name=None):
     # reference uses GroupNorm32 (32 groups, f32); for tiny test configs
-    # fall back to the largest divisor of the channel count <= 32
+    # fall back to the largest divisor of the channel count <= 32.
+    # ``dtype`` is the RESULT dtype: flax always computes the mean/var in
+    # f32 (GroupNorm32's contract), but with dtype=None the f32 params
+    # promote a bf16 input to an f32 output, silently doubling the
+    # bandwidth of every downstream SiLU/elementwise op under bf16
+    # compute — so the model passes its compute dtype through.
     c = x.shape[-1]
     groups = 32 if c % 32 == 0 else max(
         g for g in range(1, min(32, c) + 1) if c % g == 0)
-    return nn.GroupNorm(num_groups=groups, epsilon=1e-5, name=name)(x)
+    return nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=dtype,
+                        name=name)(x)
 
 
 class ResBlock(nn.Module):
@@ -58,7 +64,7 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb, train: bool = False):
         in_ch = x.shape[-1]
-        h = nn.silu(_group_norm(x))
+        h = nn.silu(_group_norm(x, self.dtype))
         h = nn.Conv(self.out_channels, (3, 3), padding=1,
                     dtype=self.dtype, name="in_conv")(h)
 
@@ -70,11 +76,11 @@ class ResBlock(nn.Module):
 
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = _group_norm(h) * (1 + scale) + shift
+            h = _group_norm(h, self.dtype) * (1 + scale) + shift
             h = nn.silu(h)
         else:
             h = h + emb_out
-            h = nn.silu(_group_norm(h))
+            h = nn.silu(_group_norm(h, self.dtype))
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1,
                     kernel_init=nn.initializers.zeros,
@@ -99,7 +105,7 @@ class AttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = _group_norm(x).reshape(B, H * W, C)
+        h = _group_norm(x, self.dtype).reshape(B, H * W, C)
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(h)
         qkv = qkv.reshape(B, H * W, self.num_heads, 3 * C // self.num_heads)
         q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, T, heads, ch)
@@ -193,13 +199,18 @@ class UNetModel(nn.Module):
                                        name=f"up_attn_{level}_{i}")(h)
                 if level and i == self.num_res_blocks:
                     B, H, W, C = h.shape
-                    h = jax.image.resize(h, (B, 2 * H, 2 * W, C), "nearest")
+                    # exact-2x nearest == repeat; broadcast+reshape lowers
+                    # to pure data movement (jax.image.resize builds
+                    # gather indices, which Mosaic/XLA won't always fold)
+                    h = jnp.broadcast_to(h[:, :, None, :, None, :],
+                                         (B, H, 2, W, 2, C)).reshape(
+                        B, 2 * H, 2 * W, C)
                     if self.conv_resample:
                         h = nn.Conv(C, (3, 3), padding=1, dtype=self.dtype,
                                     name=f"upsample_{level}")(h)
                     ds //= 2
 
-        h = nn.silu(_group_norm(h))
+        h = nn.silu(_group_norm(h, self.dtype))
         h = nn.Conv(self.out_channels, (3, 3), padding=1,
                     kernel_init=nn.initializers.zeros,
                     bias_init=nn.initializers.zeros,

@@ -110,3 +110,42 @@ def test_spec_purifier_rand_t():
 
     with pytest.raises(ValueError):
         RevSpecDiffusion(eps_fn, rand_t=True, t_delta=0)
+
+
+def test_unet_bf16_mode_close_to_f32_and_stays_bf16():
+    """bf16 compute mode: GroupNorm results must ride bf16 (an f32-
+    promoting norm silently doubles elementwise bandwidth on TPU), and
+    the output must agree with the f32 model at bf16-rounding level.
+    Params are shared (f32 tree applied under both dtypes)."""
+    net32 = tiny_unet()
+    net16 = tiny_unet(dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 32, 32)) * 0.5
+    t = jnp.asarray([3, 40])
+    variables = jax.jit(net32.init)(jax.random.PRNGKey(1), x, t)
+    # make the zero-init head non-trivial so the comparison has signal
+    import flax
+    variables = flax.core.unfreeze(variables)
+    variables["params"]["out_conv"]["kernel"] = (
+        jax.random.normal(jax.random.PRNGKey(2),
+                          variables["params"]["out_conv"]["kernel"].shape)
+        * 0.1)
+    want = np.asarray(net32.apply(variables, x, t))
+    got = np.asarray(net16.apply(variables, x, t), dtype=np.float32)
+    scale = max(np.abs(want).max(), 1e-6)
+    assert np.abs(got - want).max() < 0.05 * scale, (
+        np.abs(got - want).max(), scale)
+
+
+def test_group_norm_output_dtype_follows_compute_dtype():
+    from audiopure_tpu.models.unet import _group_norm
+    import flax.linen as nn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return _group_norm(x, jnp.bfloat16)
+
+    m = M()
+    x = jnp.ones((1, 4, 4, 32), jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).dtype == jnp.bfloat16
