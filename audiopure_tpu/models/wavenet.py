@@ -26,7 +26,9 @@ import math
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from audiopure_tpu.diffusion.schedule import diffusion_step_embedding
 
@@ -110,9 +112,17 @@ class ResidualBlock(nn.Module):
                 dtype=self.dtype,
             ), self.weight_norm)(h)
 
-        gate = jnp.tanh(h[..., : self.res_channels]) * nn.sigmoid(
-            h[..., self.res_channels:]
-        )
+        # named for the selective remat policy (remat='gates'): saving
+        # exactly these two (B, L, C) tensors lets the backward rebuild
+        # gate (their product), tanh' = 1-t^2 and sigmoid' = s(1-s)
+        # without re-running ANY forward matmul — the block's only other
+        # backward dependencies are the boundary x (saved by remat) and
+        # elementwise recomputes
+        tpart = checkpoint_name(jnp.tanh(h[..., : self.res_channels]),
+                                "wavenet_gate_tanh")
+        spart = checkpoint_name(nn.sigmoid(h[..., self.res_channels:]),
+                                "wavenet_gate_sig")
+        gate = tpart * spart
 
         res = _maybe_wn(nn.Conv(self.res_channels, (1,), name="res_conv",
                                 dtype=self.dtype), self.weight_norm)(gate)
@@ -143,9 +153,14 @@ class WaveNet(nn.Module):
     weight_norm: bool = False  # torch-style WN for training parity
     # per-block gradient checkpointing: without it the full 36x256 train
     # step stores every block's (B, L, 2C) activations and OOMs at
-    # batch 16 on one v5e (measured 17.5G of 15.75G HBM); remat keeps
-    # only block-boundary states (~4.7G) for ~4/3 the forward FLOPs
-    remat: bool = False
+    # batch 16 on one v5e (measured 17.5G of 15.75G HBM).
+    #   True / 'block': keep only block-boundary states (~4.7G) for
+    #     ~4/3 the forward FLOPs (the dilated conv re-runs on backward);
+    #   'gates': additionally save the two named gate-transcendental
+    #     tensors per block (~9.4G at batch 16) — the backward then
+    #     recomputes only elementwise ops, NO forward matmuls, trading
+    #     half the no-remat residency for none of 'block's recompute.
+    remat: Any = False
 
     @nn.compact
     def __call__(self, audio: jnp.ndarray,
@@ -166,8 +181,15 @@ class WaveNet(nn.Module):
                               dtype=self.dtype), self.weight_norm)(x)
         h = nn.relu(h)
 
-        block_cls = nn.remat(ResidualBlock) if self.remat \
-            else ResidualBlock
+        if self.remat == "gates":
+            block_cls = nn.remat(
+                ResidualBlock,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "wavenet_gate_tanh", "wavenet_gate_sig"))
+        elif self.remat:
+            block_cls = nn.remat(ResidualBlock)
+        else:
+            block_cls = ResidualBlock
         skip_sum = 0.0
         for n in range(self.num_res_layers):
             h, skip = block_cls(

@@ -32,7 +32,8 @@ def main(argv=None):
     parser.add_argument("--n_iters", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--output_directory", default=None)
-    parser.add_argument("--remat", action="store_true",
+    parser.add_argument("--remat", nargs="?", const="block",
+                        default=False, choices=["block", "gates"],
                         help="per-block gradient checkpointing (needed "
                              "for the full 36x256 model at batch >= 16 "
                              "on one v5e: without it the step OOMs)")

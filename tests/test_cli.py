@@ -328,3 +328,10 @@ def test_diffwave_train_cli_remat_bf16(data_root, tmp_path):
     loss = dw_main(["-c", cfg_path, "--batch_size", "4", "--dp", "4", "--tp", "2",
                     "--remat", "--bf16"])
     assert np.isfinite(loss)
+    # selective policy: save gate transcendentals, recompute elementwise
+    # (fresh output dir — same dir would resume past n_iters and no-op)
+    cfg["train_config"]["output_directory"] = str(tmp_path / "dw_gates")
+    json.dump(cfg, open(cfg_path, "w"))
+    loss_g = dw_main(["-c", cfg_path, "--batch_size", "4", "--dp", "4",
+                      "--tp", "2", "--remat", "gates", "--bf16"])
+    assert np.isfinite(loss_g)

@@ -195,3 +195,26 @@ def test_remat_matches_plain_forward_and_grad():
                     jax.tree_util.tree_leaves(g_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_remat_gates_matches_plain_forward_and_grad():
+    """remat='gates' (save the named gate transcendentals, recompute
+    only elementwise on backward) is numerically transparent too."""
+    net = WaveNet(res_channels=8, skip_channels=8, num_res_layers=4,
+                  dilation_cycle=2, diffusion_step_embed_dim_in=16,
+                  diffusion_step_embed_dim_mid=32,
+                  diffusion_step_embed_dim_out=32)
+    import dataclasses
+    net_g = dataclasses.replace(net, remat="gates")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 256)) * 0.3
+    t = jnp.asarray([[3.0], [17.0]])
+    params = net.init(jax.random.PRNGKey(1), x, t)
+    np.testing.assert_allclose(np.asarray(net_g.apply(params, x, t)),
+                               np.asarray(net.apply(params, x, t)),
+                               rtol=1e-6, atol=1e-6)
+    g = jax.grad(lambda p: jnp.sum(net.apply(p, x, t) ** 2))(params)
+    g_r = jax.grad(lambda p: jnp.sum(net_g.apply(p, x, t) ** 2))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g),
+                    jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
