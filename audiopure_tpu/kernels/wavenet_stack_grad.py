@@ -46,12 +46,18 @@ SQRT_HALF = math.sqrt(0.5)
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("dilation_cycle", "chunk_l",
-                                             "interpret"))
+                                             "interpret", "hbm_io"))
 def fused_residual_stack_save_h(x, t_biases, wd, bd, wres, bres, wskip,
                                 bskip, dilation_cycle: int,
                                 chunk_l: int = 2000,
-                                interpret: bool = False):
-    """Returns (skip_sum (B, L, Cs), h_all (B, NL, L, 2C) in ``x.dtype``)."""
+                                interpret: bool = False,
+                                hbm_io: bool = False):
+    """Returns (skip_sum (B, L, Cs), h_all (B, NL, L, 2C) in ``x.dtype``).
+
+    ``hbm_io=True`` mirrors the v5x forward: the audio input and skip
+    output stay in HBM and move by explicit DMA, dropping the
+    double-buffered in/out staging from VMEM so the long KWS bucket
+    lengths fit (see ``wavenet_block.fused_residual_stack``)."""
     B, L, C = x.shape
     NL, _, _, C2 = wd.shape
     skip_ch = wskip.shape[-1]
@@ -74,7 +80,7 @@ def fused_residual_stack_save_h(x, t_biases, wd, bd, wres, bres, wskip,
 
     def kernel(x_ref, tb_ref, wd_ref, bd_ref, wres_ref, bres_ref,
                wsk_ref, bsk_ref, out_ref, h_all, xa, xb, skip, hbuf,
-               hsem):
+               hsem, *io_sems):
         b = pl.program_id(0)
         c = pl.program_id(1)
 
@@ -84,7 +90,13 @@ def fused_residual_stack_save_h(x, t_biases, wd, bd, wres, bres, wskip,
             xa[margin + L:] = jnp.zeros((margin, C), dtype)
             xb[:margin] = jnp.zeros((margin, C), dtype)
             xb[margin + L:] = jnp.zeros((margin, C), dtype)
-            xa[margin: margin + L] = x_ref[0]
+            if hbm_io:
+                dma_in = pltpu.make_async_copy(
+                    x_ref.at[b], xa.at[pl.ds(margin, L)], io_sems[0])
+                dma_in.start()
+                dma_in.wait()
+            else:
+                xa[margin: margin + L] = x_ref[0]
             skip[:] = jnp.zeros((L, skip_ch), dtype)
 
         for j in range(cyc):
@@ -137,19 +149,34 @@ def fused_residual_stack_save_h(x, t_biases, wd, bd, wres, bres, wskip,
 
         @pl.when(c == n_cycles - 1)
         def _out():
-            out_ref[0] = skip[:].astype(out_ref.dtype)
+            if hbm_io:
+                dma_out = pltpu.make_async_copy(skip, out_ref.at[b],
+                                                io_sems[1])
+                dma_out.start()
+                dma_out.wait()
+            else:
+                out_ref[0] = skip[:].astype(out_ref.dtype)
+
+    if hbm_io:
+        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        skip_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        io_sems = [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
+    else:
+        x_spec = pl.BlockSpec((1, L, C), lambda b, c: (b, 0, 0))
+        skip_spec = pl.BlockSpec((1, L, skip_ch), lambda b, c: (b, 0, 0))
+        io_sems = []
 
     skip_out, h_all = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, L, C), lambda b, c: (b, 0, 0)),
+            x_spec,
             pl.BlockSpec((1, 1, cyc, C), lambda b, c: (b, c, 0, 0)),
             wspec(3, C, C2), bspec(C2), wspec(C, C), bspec(C),
             wspec(C, skip_ch), bspec(skip_ch),
         ],
         out_specs=[
-            pl.BlockSpec((1, L, skip_ch), lambda b, c: (b, 0, 0)),
+            skip_spec,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_shape=[
@@ -162,6 +189,7 @@ def fused_residual_stack_save_h(x, t_biases, wd, bd, wres, bres, wskip,
             pltpu.VMEM((L, skip_ch), dtype),        # skip accumulator
             pltpu.VMEM((chunk_l, C2), dtype),       # h staging buffer
             pltpu.SemaphoreType.DMA,
+            *io_sems,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -179,15 +207,23 @@ def fused_residual_stack_save_h(x, t_biases, wd, bd, wres, bres, wskip,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("dilation_cycle", "chunk_l",
-                                             "interpret"))
+                                             "interpret", "hbm_io"))
 def fused_residual_stack_bwd(g_skip, h_all, wd, wres, wskip,
                              dilation_cycle: int, chunk_l: int = 2000,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             hbm_io: bool = False):
     """Backward of :func:`fused_residual_stack_save_h` w.r.t. the input
     state and per-layer biases.
 
     g_skip: (B, L, Cs) cotangent of the skip sum;
     returns (dx (B, L, C), g_tbias (B, NL, C)).
+
+    ``hbm_io=True``: g_skip stays in HBM and is DMA-staged per chunk
+    (the h-streaming pattern — it is re-read once per cycle, ~3x (L, Cs)
+    of extra HBM reads, trivial next to the MXU work), and dx leaves by
+    one DMA at the last grid step.  Needed at the long KWS bucket
+    lengths where the blocked (L, Cs)/(L, C) in/out staging plus the
+    (rows, 2C) dh-resident buffer exceed VMEM.
     """
     B, NL, L, C2 = h_all.shape
     C = wd.shape[2]
@@ -206,7 +242,8 @@ def fused_residual_stack_bwd(g_skip, h_all, wd, wres, wskip,
             memory_space=pltpu.VMEM)
 
     def kernel(gs_ref, h_all_ref, wd_ref, wres_ref, wsk_ref, dx_ref,
-               gtb_ref, dxa, dxb, dhf, hbuf, hsem):
+               gtb_ref, dxa, dxb, dhf, hbuf, hsem, *hbm_scr):
+        # hbm_io: hbm_scr = (gsbuf (chunk, Cs), gsem, osem)
         b = pl.program_id(0)
         c = pl.program_id(1)          # grid step; actual cycle reversed
 
@@ -227,6 +264,11 @@ def fused_residual_stack_bwd(g_skip, h_all, wd, wres, wskip,
             gtb_acc = jnp.zeros((1, C), jnp.float32)
             # pass 1: dgate -> dh, staged layer-resident
             for s in range(0, L, chunk_l):
+                if hbm_io:
+                    gdma = pltpu.make_async_copy(
+                        gs_ref.at[b, pl.ds(s, chunk_l), :], hbm_scr[0],
+                        hbm_scr[1])
+                    gdma.start()
                 dma = pltpu.make_async_copy(
                     h_all_ref.at[b, (n_cycles - 1 - c) * cyc + j,
                                  pl.ds(s, chunk_l), :],
@@ -238,8 +280,13 @@ def fused_residual_stack_bwd(g_skip, h_all, wd, wres, wskip,
                     g_res.astype(dtype), wres_ref[j],
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
+                if hbm_io:
+                    gdma.wait()
+                    gs_chunk = hbm_scr[0][:]
+                else:
+                    gs_chunk = gs_ref[0, s: s + chunk_l]
                 dgate = dgate + jax.lax.dot_general(
-                    gs_ref[0, s: s + chunk_l], wsk_ref[j],
+                    gs_chunk, wsk_ref[j],
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 dma.wait()
@@ -274,18 +321,34 @@ def fused_residual_stack_bwd(g_skip, h_all, wd, wres, wskip,
         def _out():
             # even cyc ends in dxa (last swap writes nxt=dxa); odd cyc is
             # copied back above — either way dxa holds the state
-            dx_ref[0] = dxa[margin: margin + L]
+            if hbm_io:
+                odma = pltpu.make_async_copy(
+                    dxa.at[pl.ds(margin, L)], dx_ref.at[b], hbm_scr[2])
+                odma.start()
+                odma.wait()
+            else:
+                dx_ref[0] = dxa[margin: margin + L]
+
+    if hbm_io:
+        gs_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        dx_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        hbm_scratch = [pltpu.VMEM((chunk_l, skip_ch), dtype),
+                       pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
+    else:
+        gs_spec = pl.BlockSpec((1, L, skip_ch), lambda b, c: (b, 0, 0))
+        dx_spec = pl.BlockSpec((1, L, C), lambda b, c: (b, 0, 0))
+        hbm_scratch = []
 
     dx, gtb = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, L, skip_ch), lambda b, c: (b, 0, 0)),
+            gs_spec,
             pl.BlockSpec(memory_space=pltpu.ANY),
             wspec(3, C, C2), wspec(C, C), wspec(C, skip_ch),
         ],
         out_specs=[
-            pl.BlockSpec((1, L, C), lambda b, c: (b, 0, 0)),
+            dx_spec,
             pl.BlockSpec((1, 1, cyc, C),
                          lambda b, c: (b, n_cycles - 1 - c, 0, 0)),
         ],
@@ -299,6 +362,7 @@ def fused_residual_stack_bwd(g_skip, h_all, wd, wres, wskip,
             pltpu.VMEM((rows, C2), dtype),           # dh layer-resident
             pltpu.VMEM((chunk_l, C2), dtype),        # h staging
             pltpu.SemaphoreType.DMA,
+            *hbm_scratch,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -309,39 +373,60 @@ def fused_residual_stack_bwd(g_skip, h_all, wd, wres, wskip,
     return dx, gtb.reshape(B, NL, C)
 
 
+def gradstack_bwd_vmem_est_mb(L: int, itemsize: int, C: int = 256,
+                              skip_ch: int = 256, cyc: int = 12,
+                              chunk_l: int = 1000) -> float:
+    """Resident-footprint estimate of the hbm_io backward kernel: dx
+    ping-pong + (rows, 2C) dh buffer + staging + double-buffered cycle
+    weights + per-chunk f32 live set, with the same 1.35x Mosaic slack
+    as ``v5x_vmem_est_mb``."""
+    from audiopure_tpu.kernels.wavenet_block import _halo as halo_fn
+    margin = halo_fn(2 ** (cyc - 1))
+    rows = L + 2 * margin
+    mb = 1.0 / (1024 * 1024)
+    state = (2 * rows * C + rows * 2 * C) * itemsize * mb
+    staging = (chunk_l * 2 * C + chunk_l * skip_ch) * itemsize * mb
+    weights = 2 * cyc * (3 * C * 2 * C + C * C + C * skip_ch) \
+        * itemsize * mb
+    live = (chunk_l * 2 * C + chunk_l * C) * 4 * mb
+    return (state + staging + weights + live) * 1.35
+
+
 # ---------------------------------------------------------------------------
 # custom VJP stack (input/t-bias grads; weight grads zero by contract)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def fused_stack_input_grad(x, t_biases, wd, bd, wres, bres, wskip, bskip,
                            dilation_cycle: int, chunk_l: int = 2000,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           hbm_io: bool = False):
     """skip_sum with gradients w.r.t. ``x`` and ``t_biases`` ONLY (the
     adaptive-attack contract); weight/bias cotangents are zero."""
     from audiopure_tpu.kernels.wavenet_block import fused_residual_stack
 
     return fused_residual_stack(x, t_biases, wd, bd, wres, bres, wskip,
                                 bskip, dilation_cycle=dilation_cycle,
-                                chunk_l=chunk_l, interpret=interpret)
+                                chunk_l=chunk_l, interpret=interpret,
+                                hbm_io=hbm_io)
 
 
 def _fsig_fwd(x, t_biases, wd, bd, wres, bres, wskip, bskip,
-              dilation_cycle, chunk_l, interpret):
+              dilation_cycle, chunk_l, interpret, hbm_io):
     skip, h_all = fused_residual_stack_save_h(
         x, t_biases, wd, bd, wres, bres, wskip, bskip,
         dilation_cycle=dilation_cycle, chunk_l=chunk_l,
-        interpret=interpret)
+        interpret=interpret, hbm_io=hbm_io)
     return skip, (h_all, wd, wres, wskip,
                   (t_biases, bd, bres, bskip))
 
 
-def _fsig_bwd(dilation_cycle, chunk_l, interpret, res, g_skip):
+def _fsig_bwd(dilation_cycle, chunk_l, interpret, hbm_io, res, g_skip):
     h_all, wd, wres, wskip, (t_biases, bd, bres, bskip) = res
     dx, gtb = fused_residual_stack_bwd(
         g_skip.astype(h_all.dtype), h_all, wd, wres, wskip,
         dilation_cycle=dilation_cycle, chunk_l=chunk_l,
-        interpret=interpret)
+        interpret=interpret, hbm_io=hbm_io)
     zeros = jax.tree_util.tree_map(jnp.zeros_like,
                                    (wd, bd, wres, bres, wskip, bskip))
     g_wd, g_bd, g_wres, g_bres, g_wskip, g_bskip = zeros
@@ -369,11 +454,30 @@ def wavenet_forward_pallas_input_grad(params, audio, diffusion_steps, *,
     # save_h forward carries the v5-sized resident state + ~2 MB staging
     # (measured fitting at L=16000 bf16); beyond the budget, or for
     # partial dilation cycles, fall back to the per-layer VJP (tiles L)
-    from audiopure_tpu.kernels.wavenet_block import v5_vmem_est_mb
+    from audiopure_tpu.kernels.wavenet_block import (v5_vmem_est_mb,
+                                                     v5x_vmem_est_mb)
 
     L_in = audio.shape[-1]
+    itemsize = jnp.dtype(dtype).itemsize
+    hbm_io = False
+    chunk_override = None
     too_big = (not interpret) and \
-        v5_vmem_est_mb(L_in, jnp.dtype(dtype).itemsize) + 2.0 > 121.0
+        v5_vmem_est_mb(L_in, itemsize) + 2.0 > 121.0
+    if too_big:
+        # long audio: try the hbm_io variants (v5x-style in/out DMA for
+        # the save_h forward; staged g_skip + DMA'd dx for the backward)
+        # before surrendering to the per-layer VJP; the backward's
+        # (rows, 2C) dh-resident buffer wants the smaller 1000-chunk
+        for ch in (1000, 800, 500):
+            if L_in % ch == 0 and \
+                    gradstack_bwd_vmem_est_mb(L_in, itemsize,
+                                              chunk_l=ch) <= 118.0 and \
+                    v5x_vmem_est_mb(L_in, itemsize,
+                                    chunk_l=ch) + 3.0 <= 118.0:
+                hbm_io = True
+                chunk_override = ch
+                too_big = False
+                break
     if num_res_layers % dilation_cycle != 0 or too_big:
         from audiopure_tpu.kernels.wavenet_block_grad import \
             wavenet_forward_pallas_grad
@@ -391,7 +495,8 @@ def wavenet_forward_pallas_input_grad(params, audio, diffusion_steps, *,
     p = params["params"]
     emb, h = wavenet_stem(p, audio, diffusion_steps, embed_dim_in, dtype)
     stack_in = wavenet_stack_inputs(p, emb, num_res_layers, dtype)
-    chunk = pick_stack_chunk(L_in, prefer=_STACK_CHUNKS[1:])
+    chunk = chunk_override or pick_stack_chunk(
+        L_in, prefer=_STACK_CHUNKS[1:])
     skip_sum = fused_stack_input_grad(
-        h, *stack_in, dilation_cycle, chunk, interpret)
+        h, *stack_in, dilation_cycle, chunk, interpret, hbm_io)
     return wavenet_head(p, skip_sum, num_res_layers)

@@ -104,3 +104,32 @@ def test_saved_h_matches_preactivations(setup):
         dilation_cycle=12, chunk_l=400, interpret=True)
     np.testing.assert_allclose(np.asarray(h_all[:, 0]),
                                np.asarray(want_h), rtol=1e-5, atol=1e-6)
+
+
+def test_hbm_io_grad_path_matches_autodiff(setup):
+    """hbm_io=True (long-audio variant: DMA'd input/skip forward, staged
+    g_skip + DMA'd dx backward) must match XLA autodiff exactly like the
+    resident path (wavenet_stack_grad.fused_residual_stack_bwd hbm_io)."""
+    from audiopure_tpu.kernels.wavenet_stack_grad import \
+        fused_stack_input_grad
+    from audiopure_tpu.kernels.wavenet_block import (
+        wavenet_head, wavenet_stack_inputs, wavenet_stem)
+
+    net, p, x, t, ct = setup
+
+    def fwd(xx, hbm_io):
+        pp = p["params"]
+        emb, h = wavenet_stem(pp, xx, t, 128, jnp.float32)
+        stack_in = wavenet_stack_inputs(pp, emb, NL, jnp.float32)
+        skip = fused_stack_input_grad(h, *stack_in, 12, 400, True, hbm_io)
+        return wavenet_head(pp, skip, NL)
+
+    out_res = fwd(x, False)
+    out_hbm = fwd(x, True)
+    np.testing.assert_allclose(np.asarray(out_hbm), np.asarray(out_res),
+                               rtol=1e-6, atol=1e-7)
+
+    g_ref = jax.grad(lambda xx: (net.apply(p, xx, t) * ct).sum())(x)
+    g_hbm = jax.grad(lambda xx: (fwd(xx, True) * ct).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_hbm), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-7)
