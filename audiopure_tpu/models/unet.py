@@ -101,19 +101,23 @@ class AttentionBlock(nn.Module):
 
     num_heads: int = 4
     dtype: Any = jnp.float32
+    # 'xla' = einsum/softmax (reference math); 'pallas' = fused VMEM-
+    # resident kernel (kernels/unet_attention.py), same params/layout,
+    # XLA-recompute backward (grad_mode='full' and training unchanged)
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         h = _group_norm(x, self.dtype).reshape(B, H * W, C)
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(h)
-        qkv = qkv.reshape(B, H * W, self.num_heads, 3 * C // self.num_heads)
-        q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, T, heads, ch)
-        ch = C // self.num_heads
-        scale = 1.0 / math.sqrt(math.sqrt(ch))
-        w = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)
-        w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(x.dtype)
-        a = jnp.einsum("bhts,bshc->bthc", w, v).reshape(B, H * W, C)
+        if self.attn_impl == "pallas":
+            from audiopure_tpu.kernels.unet_attention import \
+                fused_qkv_attention
+            a = fused_qkv_attention(qkv, self.num_heads)
+        else:
+            from audiopure_tpu.kernels.unet_attention import attention_ref
+            a = attention_ref(qkv, self.num_heads)
         a = nn.Dense(C, kernel_init=nn.initializers.zeros,
                      bias_init=nn.initializers.zeros,
                      dtype=self.dtype, name="proj_out")(a)
@@ -137,6 +141,7 @@ class UNetModel(nn.Module):
     num_heads_upsample: int = -1
     use_scale_shift_norm: bool = True
     dtype: Any = jnp.float32
+    attn_impl: str = "xla"  # see AttentionBlock
 
     @nn.compact
     def __call__(self, x, timesteps, y=None, train: bool = False):
@@ -167,6 +172,7 @@ class UNetModel(nn.Module):
                              name=f"down_{level}_{i}")(h, emb, train)
                 if ds in self.attention_resolutions:
                     h = AttentionBlock(self.num_heads, self.dtype,
+                                       attn_impl=self.attn_impl,
                                        name=f"down_attn_{level}_{i}")(h)
                 skips.append(h)
             if level != len(self.channel_mult) - 1:
@@ -183,7 +189,8 @@ class UNetModel(nn.Module):
         ch = h.shape[-1]
         h = ResBlock(ch, self.dropout, self.use_scale_shift_norm,
                      self.dtype, name="mid_res1")(h, emb, train)
-        h = AttentionBlock(self.num_heads, self.dtype, name="mid_attn")(h)
+        h = AttentionBlock(self.num_heads, self.dtype,
+                           attn_impl=self.attn_impl, name="mid_attn")(h)
         h = ResBlock(ch, self.dropout, self.use_scale_shift_norm,
                      self.dtype, name="mid_res2")(h, emb, train)
 
@@ -196,6 +203,7 @@ class UNetModel(nn.Module):
                              name=f"up_{level}_{i}")(h, emb, train)
                 if ds in self.attention_resolutions:
                     h = AttentionBlock(heads_up, self.dtype,
+                                       attn_impl=self.attn_impl,
                                        name=f"up_attn_{level}_{i}")(h)
                 if level and i == self.num_res_blocks:
                     B, H, W, C = h.shape
@@ -261,7 +269,8 @@ def create_unet(image_size: int = 32, num_channels: int = 128,
                 class_cond: bool = False, attention_resolutions="16,8",
                 num_heads: int = 4, num_heads_upsample: int = -1,
                 use_scale_shift_norm: bool = True, dropout: float = 0.3,
-                in_channels: int = 1, dtype=jnp.float32) -> UNetModel:
+                in_channels: int = 1, dtype=jnp.float32,
+                attn_impl: str = "xla") -> UNetModel:
     """Mirror of ``script_util.create_model`` (``:87-126``).
 
     ``in_channels=1`` is the audio repo's mel configuration; the image
@@ -282,6 +291,7 @@ def create_unet(image_size: int = 32, num_channels: int = 128,
         num_heads_upsample=num_heads_upsample,
         use_scale_shift_norm=use_scale_shift_norm,
         dtype=dtype,
+        attn_impl=attn_impl,
     )
 
 

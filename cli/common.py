@@ -258,7 +258,12 @@ def build_defender(args, audio_length: int = 16000):
         spec_dtype = jnp.bfloat16 if getattr(args, "compute_dtype",
                                              "f32") == "bf16" \
             else jnp.float32
-        net = create_unet(dtype=spec_dtype)
+        # --conv_impl pallas also opts the UNet into the fused attention
+        # kernel (same params; XLA-recompute backward keeps grad_mode
+        # ='full' intact)
+        attn_impl = "pallas" if getattr(args, "conv_impl",
+                                        "xla") == "pallas" else "xla"
+        net = create_unet(dtype=spec_dtype, attn_impl=attn_impl)
         if args.ddpm_path:
             params, _ = ckpt_lib.load_model(args.ddpm_path)
         else:
