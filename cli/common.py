@@ -258,12 +258,11 @@ def build_defender(args, audio_length: int = 16000):
         spec_dtype = jnp.bfloat16 if getattr(args, "compute_dtype",
                                              "f32") == "bf16" \
             else jnp.float32
-        # --conv_impl pallas also opts the UNet into the fused attention
-        # kernel (same params; XLA-recompute backward keeps grad_mode
-        # ='full' intact)
-        attn_impl = "pallas" if getattr(args, "conv_impl",
-                                        "xla") == "pallas" else "xla"
-        net = create_unet(dtype=spec_dtype, attn_impl=attn_impl)
+        # UNet attention stays on the XLA einsum path: the fused pallas
+        # kernel measured NEUTRAL-to-slower at production configs
+        # (docs/BENCH.md round-3e) and remains a library option only
+        # (create_unet(attn_impl='pallas')).
+        net = create_unet(dtype=spec_dtype)
         if args.ddpm_path:
             params, _ = ckpt_lib.load_model(args.ddpm_path)
         else:
