@@ -337,8 +337,11 @@ def fused_residual_block_v3(
             dimension_semantics=("parallel", "arbitrary"),
             # the 3-view + roll temporaries sit ~0.2M over the default
             # 16M scoped-vmem budget when the call is embedded in a scan;
-            # v5e has far more physical VMEM than the default budget
-            vmem_limit_bytes=48 * 1024 * 1024,
+            # v5e has far more physical VMEM than the default budget.
+            # f32 doubles every buffer, so the budget scales with
+            # itemsize (capped under the 128M physical ceiling)
+            vmem_limit_bytes=min(48 * jnp.dtype(dtype).itemsize // 2,
+                                 112) * 1024 * 1024,
         ),
         interpret=interpret,
     )(x, *([x] * (len(view_offsets) - 1)), t_bias[:, None, :].astype(dtype),
@@ -485,7 +488,9 @@ def fused_residual_pair(
         input_output_aliases={15: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=64 * 1024 * 1024,
+            # itemsize-scaled for f32 (see the v3 note above)
+            vmem_limit_bytes=min(64 * jnp.dtype(dtype).itemsize // 2,
+                                 112) * 1024 * 1024,
         ),
         interpret=interpret,
     )(x, t_bias1[:, None, :].astype(dtype), t_bias2[:, None, :].astype(dtype),
