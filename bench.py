@@ -26,10 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 A100_REFERENCE_UPS = 40.0  # estimated torch/A100 throughput (see docstring)
 
-BATCH = int(os.environ.get("BENCH_BATCH", "384"))  # 512 OOMs; 384 fits
+DTYPE = os.environ.get("BENCH_DTYPE", "bf16")
+# bf16: 512 OOMs, 384 fits. f32 doubles every temp — batch 384 OOMs
+# HBM on the XLA path and overwhelms the remote compiler on the pallas
+# path; 96 measured fitting (see docs/BENCH.md round 3g)
+BATCH = int(os.environ.get("BENCH_BATCH",
+                           "384" if DTYPE == "bf16" else "96"))
 REVERSE_T = int(os.environ.get("BENCH_T", "3"))
 ITERS = int(os.environ.get("BENCH_ITERS", "6"))
-DTYPE = os.environ.get("BENCH_DTYPE", "bf16")
 CONV = os.environ.get("BENCH_CONV", "pallas")  # {'xla', 'pallas'}
 DP = int(os.environ.get("BENCH_DP", "1"))      # data-parallel chips
 # EOT-PGD side probe (the north-star attack workload, BASELINE.json
