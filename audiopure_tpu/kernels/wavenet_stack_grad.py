@@ -459,10 +459,16 @@ def wavenet_forward_pallas_input_grad(params, audio, diffusion_steps, *,
 
     L_in = audio.shape[-1]
     itemsize = jnp.dtype(dtype).itemsize
+    blk0 = params["params"]["res_block_0"]
+    c_res = blk0["res_conv"]["kernel"].shape[-2]
+    skip_ch = blk0["skip_conv"]["kernel"].shape[-1]
     hbm_io = False
     chunk_override = None
+    # v5_vmem_est_mb is calibrated at C=Cs=256; scale by channel ratio
+    # so non-256 configs dispatch on their real footprint
+    ch_scale = (c_res + skip_ch) / 512.0
     too_big = (not interpret) and \
-        v5_vmem_est_mb(L_in, itemsize) + 2.0 > 121.0
+        v5_vmem_est_mb(L_in, itemsize) * ch_scale + 2.0 > 121.0
     if too_big:
         # long audio: try the hbm_io variants (v5x-style in/out DMA for
         # the save_h forward; staged g_skip + DMA'd dx for the backward)
@@ -470,9 +476,12 @@ def wavenet_forward_pallas_input_grad(params, audio, diffusion_steps, *,
         # (rows, 2C) dh-resident buffer wants the smaller 1000-chunk
         for ch in (1000, 800, 500):
             if L_in % ch == 0 and \
-                    gradstack_bwd_vmem_est_mb(L_in, itemsize,
-                                              chunk_l=ch) <= 118.0 and \
-                    v5x_vmem_est_mb(L_in, itemsize,
+                    gradstack_bwd_vmem_est_mb(
+                        L_in, itemsize, C=c_res, skip_ch=skip_ch,
+                        cyc=dilation_cycle,
+                        chunk_l=ch) <= 118.0 and \
+                    v5x_vmem_est_mb(L_in, itemsize, C=c_res,
+                                    skip_ch=skip_ch, cyc=dilation_cycle,
                                     chunk_l=ch) + 3.0 <= 118.0:
                 hbm_io = True
                 chunk_override = ch
