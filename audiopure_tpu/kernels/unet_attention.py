@@ -47,6 +47,7 @@ def attention_ref(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
 def _fused_attention_kernel(qkv, num_heads: int, interpret: bool = False):
     B, T, C3 = qkv.shape
+    assert C3 % 3 == 0, C3
     C = C3 // 3
     assert C % num_heads == 0, (C, num_heads)
     ch = C // num_heads

@@ -219,13 +219,16 @@ def fused_residual_stack_bwd(g_skip, h_all, wd, wres, wskip,
     returns (dx (B, L, C), g_tbias (B, NL, C)).
 
     ``hbm_io=True``: g_skip stays in HBM and is DMA-staged per chunk
-    (the h-streaming pattern — it is re-read once per cycle, ~3x (L, Cs)
-    of extra HBM reads, trivial next to the MXU work), and dx leaves by
-    one DMA at the last grid step.  Needed at the long KWS bucket
-    lengths where the blocked (L, Cs)/(L, C) in/out staging plus the
-    (rows, 2C) dh-resident buffer exceed VMEM.
+    (the h-streaming pattern — re-read once per LAYER, ~NL x (L, Cs)
+    of extra HBM reads; at L=24000 that is ~0.4 GB = well under 1 ms
+    against ~60 ms of MXU work), and dx leaves by one DMA at the last
+    grid step.  Needed at the long KWS bucket lengths where the blocked
+    (L, Cs)/(L, C) in/out staging plus the (rows, 2C) dh-resident
+    buffer exceed VMEM.
     """
     B, NL, L, C2 = h_all.shape
+    assert NL % dilation_cycle == 0, (NL, dilation_cycle)
+    assert L % chunk_l == 0, (L, chunk_l)
     C = wd.shape[2]
     skip_ch = wskip.shape[-1]
     dtype = h_all.dtype
