@@ -133,9 +133,23 @@ class KenansvilleAttack:
         self.max_iter = int(max_iter)
         self.targeted = targeted
         self.raster_width = raster_width
+        self._jitted = None
 
     def generate(self, x: jnp.ndarray, y: jnp.ndarray, key: jax.Array
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """One compiled program per shape (the eager version paid the
+        remote-dispatch latency on every outer op — measured 1.1-1.3
+        s/utt vs the ~query-bound jitted path); model params are hoisted
+        out of the closure like the PGD stage-1 program."""
+        from audiopure_tpu.utils.jit_utils import hoisted_jit
+
+        if self._jitted is None:
+            self._jitted = hoisted_jit(self._generate_impl)
+        return self._jitted(x, y, key)
+
+    def _generate_impl(self, x: jnp.ndarray, y: jnp.ndarray,
+                       key: jax.Array
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         B = x.shape[0]
 
         if self.method == "fft":
