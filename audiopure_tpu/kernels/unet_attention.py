@@ -97,7 +97,8 @@ def fused_qkv_attention(qkv, num_heads: int, interpret=None):
 
 def _fused_attention_fwd(qkv, num_heads: int, interpret=None):
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        # "axon" is this container's TPU plugin platform name (CLAUDE.md)
+        interpret = jax.default_backend() not in ("tpu", "axon")
     return _fused_attention_kernel(qkv, num_heads, interpret)
 
 

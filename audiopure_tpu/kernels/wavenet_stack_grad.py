@@ -383,8 +383,7 @@ def gradstack_bwd_vmem_est_mb(L: int, itemsize: int, C: int = 256,
     ping-pong + (rows, 2C) dh buffer + staging + double-buffered cycle
     weights + per-chunk f32 live set, with the same 1.35x Mosaic slack
     as ``v5x_vmem_est_mb``."""
-    from audiopure_tpu.kernels.wavenet_block import _halo as halo_fn
-    margin = halo_fn(2 ** (cyc - 1))
+    margin = _halo(2 ** (cyc - 1))
     rows = L + 2 * margin
     mb = 1.0 / (1024 * 1024)
     state = (2 * rows * C + rows * 2 * C) * itemsize * mb
