@@ -258,10 +258,10 @@ def build_defender(args, audio_length: int = 16000):
         spec_dtype = jnp.bfloat16 if getattr(args, "compute_dtype",
                                              "f32") == "bf16" \
             else jnp.float32
-        # UNet attention stays on the XLA einsum path: the fused pallas
-        # kernel measured NEUTRAL-to-slower at production configs
-        # (docs/BENCH.md round-3e) and remains a library option only
-        # (create_unet(attn_impl='pallas')).
+        # UNet attention stays on the XLA einsum path pending a valid
+        # on-chip A/B of the fused pallas kernel (the first A/B timed
+        # interpret mode — docs/BENCH.md round 3e/3k); library option:
+        # create_unet(attn_impl='pallas').
         net = create_unet(dtype=spec_dtype)
         if args.ddpm_path:
             params, _ = ckpt_lib.load_model(args.ddpm_path)
