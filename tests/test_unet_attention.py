@@ -60,3 +60,27 @@ def test_unet_pallas_attn_matches_xla_model():
     np.testing.assert_allclose(np.asarray(net_p.apply(v, x, t)),
                                np.asarray(net_x.apply(v, x, t)),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_auto_interpret_guard_recognizes_axon(monkeypatch):
+    """The container's TPU platform is named 'axon' (CLAUDE.md); the
+    auto-interpret default must treat it as real hardware, or the
+    Mosaic kernel silently degrades to interpret emulation on-chip
+    (caught by round-3 code review)."""
+    import audiopure_tpu.kernels.unet_attention as ua
+    import audiopure_tpu.kernels.wavenet_stack_grad as wsg
+
+    for plat, want_interpret in (("axon", False), ("tpu", False),
+                                 ("cpu", True)):
+        monkeypatch.setattr(jax, "default_backend", lambda p=plat: p)
+        seen = {}
+        monkeypatch.setattr(
+            ua, "_fused_attention_kernel",
+            lambda qkv, nh, interp: seen.setdefault("i", interp))
+        ua._fused_attention_fwd(jnp.zeros((1, 8, 12)), 2, None)
+        assert seen["i"] is want_interpret, (plat, seen)
+    # wavenet_stack_grad guard: resolves interpret from the same set
+    monkeypatch.setattr(jax, "default_backend", lambda: "axon")
+    import inspect
+    src = inspect.getsource(wsg.wavenet_forward_pallas_input_grad)
+    assert '"axon"' in src
