@@ -83,6 +83,49 @@ def _fused_attention_kernel(qkv, num_heads: int, interpret: bool = False):
     )(qkv)
 
 
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _fused_attention_kernel_split(qkv, num_heads: int,
+                                  interpret: bool = False):
+    """Layout variant: split q/k/v into (B, H, T, ch) arrays in XLA
+    (cheap fused transpose) and grid over (B, H) — the kernel body then
+    indexes only leading dims, avoiding the interleaved variant's
+    sub-tile lane slicing at ch=64 granularity."""
+    B, T, C3 = qkv.shape
+    assert C3 % 3 == 0, C3
+    C = C3 // 3
+    assert C % num_heads == 0, (C, num_heads)
+    ch = C // num_heads
+    scale = 1.0 / math.sqrt(math.sqrt(ch))
+    dtype = qkv.dtype
+    qkvh = qkv.reshape(B, T, num_heads, 3 * ch).transpose(0, 2, 1, 3)
+    q, k, v = jnp.split(qkvh, 3, axis=-1)  # each (B, H, T, ch)
+
+    def kernel(q_ref, k_ref, v_ref, out_ref):
+        s = jax.lax.dot_general(
+            q_ref[0, 0] * scale, k_ref[0, 0] * scale,
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        z = jnp.sum(p, axis=1, keepdims=True)
+        w = (p / z).astype(dtype)
+        out_ref[0, 0] = jax.lax.dot_general(
+            w, v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype)
+
+    spec = pl.BlockSpec((1, 1, T, ch), lambda b, h: (b, h, 0, 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, num_heads),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, num_heads, T, ch), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(q, k, v)
+    return out.transpose(0, 2, 1, 3).reshape(B, T, C)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def fused_qkv_attention(qkv, num_heads: int, interpret=None):
     """Fused scores->softmax->apply; same contract as :func:`attention_ref`.

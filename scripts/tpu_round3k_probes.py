@@ -114,6 +114,29 @@ def main():
         probe(f"unet_attn_pallas_b{B}", fwd_probe(unet_p, B, "pallas"))
     probe("unet_attn_xla_b64_regression", fwd_probe(unet_x, 64, "xla"))
 
+    # isolated kernel-vs-einsum A/B on the attention op alone (both
+    # layout variants), outside the UNet: T=256, C=256, heads=4
+    from audiopure_tpu.kernels.unet_attention import (
+        _fused_attention_kernel, _fused_attention_kernel_split,
+        attention_ref)
+
+    def attn_micro(fn, label):
+        def run():
+            qkv = jax.random.normal(jax.random.PRNGKey(9),
+                                    (64, 256, 768)).astype(jnp.bfloat16)
+            t = chained(lambda a: fn(a).astype(jnp.bfloat16), qkv, 32)
+            return dict(us_per_call=round(t * 1e6, 1), layout=label)
+        return run
+
+    probe("attn_op_xla", attn_micro(lambda a: attention_ref(a, 4),
+                                    "einsum"))
+    probe("attn_op_interleaved",
+          attn_micro(lambda a: _fused_attention_kernel(a, 4, False),
+                     "interleaved"))
+    probe("attn_op_split",
+          attn_micro(lambda a: _fused_attention_kernel_split(a, 4, False),
+                     "split"))
+
     # ---- 3. DiffSpec attack with fused attention -----------------------
     from audiopure_tpu import AcousticSystem
     from audiopure_tpu.attacks import AudioAttack

@@ -84,3 +84,15 @@ def test_auto_interpret_guard_recognizes_axon(monkeypatch):
     import inspect
     src = inspect.getsource(wsg.wavenet_forward_pallas_input_grad)
     assert '"axon"' in src
+
+
+@pytest.mark.parametrize("T,C,heads", [(64, 256, 4), (16, 32, 2)])
+def test_split_layout_kernel_matches_reference(T, C, heads):
+    from audiopure_tpu.kernels.unet_attention import \
+        _fused_attention_kernel_split
+
+    qkv = jax.random.normal(jax.random.PRNGKey(6), (2, T, 3 * C),
+                            jnp.float32)
+    want = np.asarray(attention_ref(qkv, heads))
+    got = np.asarray(_fused_attention_kernel_split(qkv, heads, True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
