@@ -247,6 +247,15 @@ class RevSpecDiffusion:
         if self.rand_t and self.t_delta < 1:
             raise ValueError("rand_t needs t_delta >= 1 "
                              "(randint(-t_delta, t_delta))")
+        if self.rand_t and self.t_delta >= t:
+            # t_drawn <= 0 would silently index alphas_cumprod[-1]
+            # (near-pure noise) with an empty solver row — the reference
+            # has the same hazard (image_editing_sample:188-190); fail
+            # loudly instead (docs/PARITY.md)
+            raise ValueError(
+                f"rand_t needs t_delta < t (got t={t}, "
+                f"t_delta={t_delta}): t + randint(-t_delta, t_delta) "
+                "must stay >= 1")
 
         betas = np.linspace(beta_min / N, beta_max / N, N, dtype=np.float64)
         self.alphas_cumprod = jnp.asarray(np.cumprod(1.0 - betas),
@@ -358,6 +367,13 @@ class RevSpecDiffusion:
         def step(carry, inp):
             xk = carry
             tp, h, dk, ok, kk = inp
+            # padded grid rows carry tp=0, where _step_fg's
+            # 1/sqrt(1-abar_cont(0)) is infinite; the inf rides the
+            # not-taken where-branch and poisons grad_mode='full'
+            # cotangents with 0*inf = NaN. Substitute a benign t BEFORE
+            # the computation so padded steps are finite no-ops (the
+            # where below still discards their value).
+            tp = jnp.where(ok, tp, 0.5)
             f, g = self._step_fg(xk, tp, dk)
             z = jax.random.normal(kk, xk.shape, dtype=xk.dtype)
             x_next = xk + f * h + g * jnp.sqrt(h) * z

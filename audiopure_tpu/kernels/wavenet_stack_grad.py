@@ -511,3 +511,9 @@ def wavenet_forward_pallas_input_grad(params, audio, diffusion_steps, *,
     skip_sum = fused_stack_input_grad(
         h, *stack_in, dilation_cycle, chunk, interpret, hbm_io)
     return wavenet_head(p, skip_sum, num_res_layers)
+
+
+# attack-contract marker: weight/bias cotangents are exact zeros; the
+# training entry point refuses callables that reference this kernel
+# (training/diffwave._uses_input_grad_kernel)
+wavenet_forward_pallas_input_grad._zero_weight_grads = True

@@ -62,8 +62,24 @@ def hlo_collective_stats(hlo_text: str) -> Dict[str, Dict[str, int]]:
         if not m:
             continue
         op = m.group("op")
+        shapes = m.group("shapes")
+        if "-start(" in line and shapes.startswith("("):
+            # async forms return (operand alias, result, [context]) —
+            # only the result element is received traffic; summing the
+            # whole tuple double-counted async collectives vs their
+            # sync forms (round-3 review find)
+            elems = _SHAPE.findall(shapes)
+            if len(elems) >= 2:
+                dt, dims = elems[1]
+                n = 1
+                for d in dims.split(","):
+                    if d:
+                        n *= int(d)
+                stats[op]["count"] += 1
+                stats[op]["bytes"] += n * _DTYPE_BYTES.get(dt, 0)
+                continue
         stats[op]["count"] += 1
-        stats[op]["bytes"] += _shape_bytes(m.group("shapes"))
+        stats[op]["bytes"] += _shape_bytes(shapes)
     return dict(stats)
 
 

@@ -45,14 +45,47 @@ def diffusion_training_loss(apply_fn: Callable, params, x0: jnp.ndarray,
     return jnp.mean((eps - z) ** 2)
 
 
+def _uses_input_grad_kernel(fn, depth: int = 3, seen=None) -> bool:
+    """True if ``fn`` IS, closes over, wraps, or references by global
+    name the zero-weight-grad attack kernel. Name-matching alone missed
+    the repo's own lambda-wrapper idiom (round-3 review find)."""
+    if depth < 0 or not callable(fn):
+        return False
+    seen = seen if seen is not None else set()
+    if id(fn) in seen:
+        return False
+    seen.add(id(fn))
+    if getattr(fn, "_zero_weight_grads", False) or \
+            getattr(fn, "__name__", "") == \
+            "wavenet_forward_pallas_input_grad":
+        return True
+    for cell in getattr(fn, "__closure__", None) or ():
+        try:
+            v = cell.cell_contents
+        except ValueError:
+            continue
+        if _uses_input_grad_kernel(v, depth - 1, seen):
+            return True
+    code = getattr(fn, "__code__", None)
+    if code is not None:
+        g = getattr(fn, "__globals__", {})
+        for name in code.co_names:
+            if _uses_input_grad_kernel(g.get(name), depth - 1, seen):
+                return True
+    for attr in ("func", "__wrapped__"):  # functools.partial / wraps
+        if _uses_input_grad_kernel(getattr(fn, attr, None), depth - 1,
+                                   seen):
+            return True
+    return False
+
+
 def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
                     optimizer: optax.GradientTransformation):
     """Returns ``train_step(state, batch) -> (state, loss)`` (pure, jittable)."""
     # the whole-net input-grad kernel returns exact-zero weight cotangents
     # by contract (attack path only); wiring it here would silently train
     # nothing (advisor r2) — fail loudly instead
-    if getattr(apply_fn, "__name__", "") == \
-            "wavenet_forward_pallas_input_grad":
+    if _uses_input_grad_kernel(apply_fn):
         raise ValueError(
             "apply_fn is the input-grad-only attack kernel; training needs "
             "weight gradients — use wavenet_forward_pallas_grad or the "

@@ -295,3 +295,17 @@ def test_tune_tp_layout_keeps_profitable_giant_linear():
     assert report["chosen"] == ["dense/kernel"]
     assert report["final_bytes"] < report["replicated_bytes"]
     assert layout["params"]["dense"]["kernel"].spec != P()
+
+
+def test_hlo_async_collective_bytes_not_double_counted():
+    """'-start' async forms return (operand alias, result, ...); only
+    the result element is received traffic (round-3 review find)."""
+    from audiopure_tpu.parallel.stats import hlo_collective_stats
+
+    sync = "%ar = f32[8,16]{1,0} all-reduce(%x)"
+    asy = ("%ag = (f32[8,16]{1,0}, f32[8,16]{1,0}) "
+           "all-gather-start(%x)")
+    s = hlo_collective_stats(sync + "\n" + asy)
+    assert s["all-reduce"]["bytes"] == 8 * 16 * 4
+    assert s["all-gather"]["bytes"] == 8 * 16 * 4  # NOT 2x
+    assert s["all-gather"]["count"] == 1

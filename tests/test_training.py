@@ -380,3 +380,34 @@ def test_weight_norm_training_and_fusion():
     np.testing.assert_allclose(
         np.asarray(net_wn.apply(state.params, x, t)),
         np.asarray(plain.apply(fused, x, t)), atol=1e-6)
+
+
+def test_train_step_rejects_input_grad_kernel_wrappers():
+    """The zero-weight-grad attack kernel must be refused even when
+    hidden behind the repo's lambda/partial apply-fn idiom (round-3
+    review find: the old name-match only caught the bare function)."""
+    import functools
+
+    import optax
+    import pytest
+
+    from audiopure_tpu.diffusion.schedule import make_schedule
+    from audiopure_tpu.kernels.wavenet_stack_grad import \
+        wavenet_forward_pallas_input_grad
+    from audiopure_tpu.training.diffwave import make_train_step
+
+    sched = make_schedule(10, 1e-4, 0.02)
+    opt = optax.adam(1e-3)
+    wrappers = [
+        wavenet_forward_pallas_input_grad,
+        lambda p, x, t: wavenet_forward_pallas_input_grad(p, x, t),
+        functools.partial(wavenet_forward_pallas_input_grad),
+        (lambda f: lambda p, x, t: f(p, x, t))(
+            wavenet_forward_pallas_input_grad),  # closure cell
+    ]
+    for w in wrappers:
+        with pytest.raises(ValueError):
+            make_train_step(w, sched, opt)
+
+    # a legitimate apply fn still passes
+    make_train_step(lambda p, x, t: x, sched, opt)

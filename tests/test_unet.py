@@ -149,3 +149,32 @@ def test_group_norm_output_dtype_follows_compute_dtype():
     x = jnp.ones((1, 4, 4, 32), jnp.bfloat16)
     v = m.init(jax.random.PRNGKey(0), x)
     assert m.apply(v, x).dtype == jnp.bfloat16
+
+
+def test_spec_purifier_rand_t_fullgrad_finite():
+    """Padded grid rows must not poison grad_mode='full' gradients:
+    t_phys=0 padding made _step_fg's 1/sqrt(1-abar(0)) infinite and the
+    0*inf where-cotangent NaN'd the whole purifier grad whenever the
+    drawn row was shorter than the longest grid (round-3 review find)."""
+    import pytest
+
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (1, 1, 3, 3)) * 0.1
+
+    def eps_fn(x, t):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+    pur = RevSpecDiffusion(eps_fn, N=1000, t=20, rand_t=True, t_delta=5,
+                           grad_mode="full")
+    spec = jax.random.uniform(jax.random.PRNGKey(1), (1, 1, 32, 32),
+                              minval=-80.0, maxval=20.0)
+    gfn = jax.jit(jax.grad(lambda s, k: pur(s, k).sum()))
+    for seed in range(6):  # several draws -> several padded-row depths
+        g = np.asarray(gfn(spec, jax.random.PRNGKey(10 + seed)))
+        assert np.isfinite(g).all(), f"NaN grad at seed {seed}"
+
+    # t_delta >= t would let t_drawn reach <= 0 (silent wraparound)
+    with pytest.raises(ValueError):
+        RevSpecDiffusion(eps_fn, t=3, rand_t=True, t_delta=4)
