@@ -207,11 +207,13 @@ def fused_residual_stack_save_h(x, t_biases, wd, bd, wres, bres, wskip,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("dilation_cycle", "chunk_l",
-                                             "interpret", "hbm_io"))
+                                             "interpret", "hbm_io",
+                                             "dh_hbm"))
 def fused_residual_stack_bwd(g_skip, h_all, wd, wres, wskip,
                              dilation_cycle: int, chunk_l: int = 2000,
                              interpret: bool = False,
-                             hbm_io: bool = False):
+                             hbm_io: bool = False,
+                             dh_hbm: bool = False):
     """Backward of :func:`fused_residual_stack_save_h` w.r.t. the input
     state and per-layer biases.
 
@@ -225,10 +227,22 @@ def fused_residual_stack_bwd(g_skip, h_all, wd, wres, wskip,
     grid step.  Needed at the long KWS bucket lengths where the blocked
     (L, Cs)/(L, C) in/out staging plus the (rows, 2C) dh-resident
     buffer exceed VMEM.
+
+    ``dh_hbm=True`` (requires ``hbm_io``): additionally evicts the
+    (rows, 2C) dh layer-resident buffer to HBM — pass 1 streams each
+    dh chunk out (an extra (B, L, 2C) kernel output, per-batch-row so
+    megacore-split grids never share it), pass 2 DMAs back a
+    ``chunk + 2*halo(d)`` window per chunk with statically-clamped
+    bounds and zeroed out-of-range edge rows (the transposed-conv zero
+    padding).  Extra HBM traffic: one dh write + ~1.3x dh reads per
+    layer (window overlap sum_j 2*2^j/chunk); drops the VMEM resident
+    set from (2 rows C + rows 2C) to (2 rows C + window), extending
+    ``grad_mode='full'`` past the L=32000 limit of the resident dh.
     """
     B, NL, L, C2 = h_all.shape
     assert NL % dilation_cycle == 0, (NL, dilation_cycle)
     assert L % chunk_l == 0, (L, chunk_l)
+    assert not (dh_hbm and not hbm_io), "dh_hbm requires hbm_io layout"
     C = wd.shape[2]
     skip_ch = wskip.shape[-1]
     dtype = h_all.dtype
@@ -245,8 +259,16 @@ def fused_residual_stack_bwd(g_skip, h_all, wd, wres, wskip,
             memory_space=pltpu.VMEM)
 
     def kernel(gs_ref, h_all_ref, wd_ref, wres_ref, wsk_ref, dx_ref,
-               gtb_ref, dxa, dxb, dhf, hbuf, hsem, *hbm_scr):
-        # hbm_io: hbm_scr = (gsbuf (chunk, Cs), gsem, osem)
+               gtb_ref, *rest):
+        if dh_hbm:
+            (dh_ref, dxa, dxb, dhs, dhw, hbuf, hsem, dhosem, dhisem,
+             gsbuf, gsem, osem) = rest
+            dhf = None
+        elif hbm_io:
+            dxa, dxb, dhf, hbuf, hsem, gsbuf, gsem, osem = rest
+        else:
+            dxa, dxb, dhf, hbuf, hsem = rest
+            gsbuf = None
         b = pl.program_id(0)
         c = pl.program_id(1)          # grid step; actual cycle reversed
 
@@ -255,9 +277,10 @@ def fused_residual_stack_bwd(g_skip, h_all, wd, wres, wskip,
             # dx_{NL} = 0: the final hidden state is discarded by the head
             dxa[:] = jnp.zeros((rows, C), dtype)
             dxb[:] = jnp.zeros((rows, C), dtype)
-            # dh margins are the transposed-conv zero padding
-            dhf[:margin] = jnp.zeros((margin, C2), dtype)
-            dhf[margin + L:] = jnp.zeros((margin, C2), dtype)
+            if not dh_hbm:
+                # dh margins are the transposed-conv zero padding
+                dhf[:margin] = jnp.zeros((margin, C2), dtype)
+                dhf[margin + L:] = jnp.zeros((margin, C2), dtype)
 
         n_swaps = 0
         for j in reversed(range(cyc)):
@@ -269,8 +292,7 @@ def fused_residual_stack_bwd(g_skip, h_all, wd, wres, wskip,
             for s in range(0, L, chunk_l):
                 if hbm_io:
                     gdma = pltpu.make_async_copy(
-                        gs_ref.at[b, pl.ds(s, chunk_l), :], hbm_scr[0],
-                        hbm_scr[1])
+                        gs_ref.at[b, pl.ds(s, chunk_l), :], gsbuf, gsem)
                     gdma.start()
                 dma = pltpu.make_async_copy(
                     h_all_ref.at[b, (n_cycles - 1 - c) * cyc + j,
@@ -285,7 +307,7 @@ def fused_residual_stack_bwd(g_skip, h_all, wd, wres, wskip,
                     preferred_element_type=jnp.float32)
                 if hbm_io:
                     gdma.wait()
-                    gs_chunk = hbm_scr[0][:]
+                    gs_chunk = gsbuf[:]
                 else:
                     gs_chunk = gs_ref[0, s: s + chunk_l]
                 dgate = dgate + jax.lax.dot_general(
@@ -298,15 +320,43 @@ def fused_residual_stack_bwd(g_skip, h_all, wd, wres, wskip,
                 sg = jax.nn.sigmoid(hh[:, C:])
                 dh1 = dgate * sg * (1.0 - t * t)
                 dh2 = dgate * t * sg * (1.0 - sg)
-                dhf[margin + s: margin + s + chunk_l] = jnp.concatenate(
-                    [dh1, dh2], axis=-1).astype(dtype)
+                dh_chunk = jnp.concatenate([dh1, dh2],
+                                           axis=-1).astype(dtype)
+                if dh_hbm:
+                    dhs[:] = dh_chunk
+                    odma = pltpu.make_async_copy(
+                        dhs, dh_ref.at[b, pl.ds(s, chunk_l), :], dhosem)
+                    odma.start()
+                    odma.wait()
+                else:
+                    dhf[margin + s: margin + s + chunk_l] = dh_chunk
             # pass 2: transposed taps + residual path
             for s in range(0, L, chunk_l):
+                if dh_hbm:
+                    # stage the chunk+2*halo(d) dh window; rows outside
+                    # [0, L) are the transposed-conv zero padding
+                    hd = _halo(d)
+                    ws = s - hd
+                    cs, ce = max(ws, 0), min(s + chunk_l + hd, L)
+                    if cs > ws:
+                        dhw[: cs - ws] = jnp.zeros((cs - ws, C2), dtype)
+                    wlen = chunk_l + 2 * hd
+                    if ce - ws < wlen:
+                        dhw[ce - ws: wlen] = jnp.zeros(
+                            (wlen - (ce - ws), C2), dtype)
+                    idma = pltpu.make_async_copy(
+                        dh_ref.at[b, pl.ds(cs, ce - cs), :],
+                        dhw.at[pl.ds(cs - ws, ce - cs)], dhisem)
+                    idma.start()
+                    idma.wait()
                 acc = jnp.zeros((chunk_l, C), jnp.float32)
                 for k in range(3):
                     off = (1 - k) * d     # dxb[m] += dh[m-(k-1)d] @ wd^T
-                    sl = dhf[margin + s + off:
-                             margin + s + off + chunk_l]
+                    if dh_hbm:
+                        sl = dhw[hd + off: hd + off + chunk_l]
+                    else:
+                        sl = dhf[margin + s + off:
+                                 margin + s + off + chunk_l]
                     acc = acc + jax.lax.dot_general(
                         sl, wd_ref[j, k], (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
@@ -326,7 +376,7 @@ def fused_residual_stack_bwd(g_skip, h_all, wd, wres, wskip,
             # copied back above — either way dxa holds the state
             if hbm_io:
                 odma = pltpu.make_async_copy(
-                    dxa.at[pl.ds(margin, L)], dx_ref.at[b], hbm_scr[2])
+                    dxa.at[pl.ds(margin, L)], dx_ref.at[b], osem)
                 odma.start()
                 odma.wait()
             else:
@@ -342,7 +392,40 @@ def fused_residual_stack_bwd(g_skip, h_all, wd, wres, wskip,
         dx_spec = pl.BlockSpec((1, L, C), lambda b, c: (b, 0, 0))
         hbm_scratch = []
 
-    dx, gtb = pl.pallas_call(
+    out_specs = [
+        dx_spec,
+        pl.BlockSpec((1, 1, cyc, C),
+                     lambda b, c: (b, n_cycles - 1 - c, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, L, C), dtype),
+        jax.ShapeDtypeStruct((B, n_cycles, cyc, C), jnp.float32),
+    ]
+    if dh_hbm:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_shape.append(jax.ShapeDtypeStruct((B, L, C2), dtype))
+        scratch_shapes = [
+            pltpu.VMEM((rows, C), dtype),                  # dxa
+            pltpu.VMEM((rows, C), dtype),                  # dxb
+            pltpu.VMEM((chunk_l, C2), dtype),              # dh out stage
+            pltpu.VMEM((chunk_l + 2 * margin, C2), dtype),  # dh window
+            pltpu.VMEM((chunk_l, C2), dtype),              # h staging
+            pltpu.SemaphoreType.DMA,                        # hsem
+            pltpu.SemaphoreType.DMA,                        # dhosem
+            pltpu.SemaphoreType.DMA,                        # dhisem
+            *hbm_scratch,
+        ]
+    else:
+        scratch_shapes = [
+            pltpu.VMEM((rows, C), dtype),            # dxa
+            pltpu.VMEM((rows, C), dtype),            # dxb
+            pltpu.VMEM((rows, C2), dtype),           # dh layer-resident
+            pltpu.VMEM((chunk_l, C2), dtype),        # h staging
+            pltpu.SemaphoreType.DMA,
+            *hbm_scratch,
+        ]
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -350,29 +433,16 @@ def fused_residual_stack_bwd(g_skip, h_all, wd, wres, wskip,
             pl.BlockSpec(memory_space=pltpu.ANY),
             wspec(3, C, C2), wspec(C, C), wspec(C, skip_ch),
         ],
-        out_specs=[
-            dx_spec,
-            pl.BlockSpec((1, 1, cyc, C),
-                         lambda b, c: (b, n_cycles - 1 - c, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, L, C), dtype),
-            jax.ShapeDtypeStruct((B, n_cycles, cyc, C), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((rows, C), dtype),            # dxa
-            pltpu.VMEM((rows, C), dtype),            # dxb
-            pltpu.VMEM((rows, C2), dtype),           # dh layer-resident
-            pltpu.VMEM((chunk_l, C2), dtype),        # h staging
-            pltpu.SemaphoreType.DMA,
-            *hbm_scratch,
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=123 * 1024 * 1024,
         ),
         interpret=interpret,
     )(g_skip, h_all, wd, wres, wskip)
+    dx, gtb = outs[0], outs[1]
     return dx, gtb.reshape(B, NL, C)
 
 
@@ -394,15 +464,37 @@ def gradstack_bwd_vmem_est_mb(L: int, itemsize: int, C: int = 256,
     return (state + staging + weights + live) * 1.35
 
 
+def gradstack_bwd_dhhbm_vmem_est_mb(L: int, itemsize: int, C: int = 256,
+                                    skip_ch: int = 256, cyc: int = 12,
+                                    chunk_l: int = 2000) -> float:
+    """Resident-footprint estimate of the dh_hbm backward kernel: dx
+    ping-pong + (chunk+2*margin, 2C) dh window + out/h/g_skip staging +
+    double-buffered cycle weights + per-chunk f32 live set, same 1.35x
+    Mosaic slack as the other estimates.  The (rows, 2C) dh resident of
+    :func:`gradstack_bwd_vmem_est_mb` is gone — the only L-proportional
+    terms left are the two (rows, C) dx buffers."""
+    margin = _halo(2 ** (cyc - 1))
+    rows = L + 2 * margin
+    mb = 1.0 / (1024 * 1024)
+    state = 2 * rows * C * itemsize * mb
+    window = (chunk_l + 2 * margin) * 2 * C * itemsize * mb
+    staging = (2 * chunk_l * 2 * C + chunk_l * skip_ch) * itemsize * mb
+    weights = 2 * cyc * (3 * C * 2 * C + C * C + C * skip_ch) \
+        * itemsize * mb
+    live = (chunk_l * 2 * C + chunk_l * C) * 4 * mb
+    return (state + window + staging + weights + live) * 1.35
+
+
 # ---------------------------------------------------------------------------
 # custom VJP stack (input/t-bias grads; weight grads zero by contract)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def fused_stack_input_grad(x, t_biases, wd, bd, wres, bres, wskip, bskip,
                            dilation_cycle: int, chunk_l: int = 2000,
                            interpret: bool = False,
-                           hbm_io: bool = False):
+                           hbm_io: bool = False,
+                           dh_hbm: bool = False):
     """skip_sum with gradients w.r.t. ``x`` and ``t_biases`` ONLY (the
     adaptive-attack contract); weight/bias cotangents are zero."""
     from audiopure_tpu.kernels.wavenet_block import fused_residual_stack
@@ -414,7 +506,7 @@ def fused_stack_input_grad(x, t_biases, wd, bd, wres, bres, wskip, bskip,
 
 
 def _fsig_fwd(x, t_biases, wd, bd, wres, bres, wskip, bskip,
-              dilation_cycle, chunk_l, interpret, hbm_io):
+              dilation_cycle, chunk_l, interpret, hbm_io, dh_hbm):
     skip, h_all = fused_residual_stack_save_h(
         x, t_biases, wd, bd, wres, bres, wskip, bskip,
         dilation_cycle=dilation_cycle, chunk_l=chunk_l,
@@ -423,12 +515,13 @@ def _fsig_fwd(x, t_biases, wd, bd, wres, bres, wskip, bskip,
                   (t_biases, bd, bres, bskip))
 
 
-def _fsig_bwd(dilation_cycle, chunk_l, interpret, hbm_io, res, g_skip):
+def _fsig_bwd(dilation_cycle, chunk_l, interpret, hbm_io, dh_hbm, res,
+              g_skip):
     h_all, wd, wres, wskip, (t_biases, bd, bres, bskip) = res
     dx, gtb = fused_residual_stack_bwd(
         g_skip.astype(h_all.dtype), h_all, wd, wres, wskip,
         dilation_cycle=dilation_cycle, chunk_l=chunk_l,
-        interpret=interpret, hbm_io=hbm_io)
+        interpret=interpret, hbm_io=hbm_io, dh_hbm=dh_hbm)
     zeros = jax.tree_util.tree_map(jnp.zeros_like,
                                    (wd, bd, wres, bres, wskip, bskip))
     g_wd, g_bd, g_wres, g_bres, g_wskip, g_bskip = zeros
@@ -455,7 +548,13 @@ def wavenet_forward_pallas_input_grad(params, audio, diffusion_steps, *,
     # VMEM guard (real hardware only — interpret mode has no VMEM): the
     # save_h forward carries the v5-sized resident state + ~2 MB staging
     # (measured fitting at L=16000 bf16); beyond the budget, or for
-    # partial dilation cycles, fall back to the per-layer VJP (tiles L)
+    # partial dilation cycles, fall back to the per-layer VJP (tiles L).
+    # Dispatch bands at the flagship 256/256-channel config, bf16:
+    #   L <= ~15000  resident v5 save_h + resident backward
+    #   L <= ~28000  hbm_io (DMA'd in/out fwd, staged g_skip bwd)
+    #   L <= ~37000  hbm_io + dh_hbm (backward dh evicted to HBM);
+    #                the binding buffer is now the forward's xa/xb+skip
+    #   beyond       per-layer VJP (tiles L, ~1.8x slower)
     from audiopure_tpu.kernels.wavenet_block import (v5_vmem_est_mb,
                                                      v5x_vmem_est_mb)
 
@@ -465,6 +564,7 @@ def wavenet_forward_pallas_input_grad(params, audio, diffusion_steps, *,
     c_res = blk0["res_conv"]["kernel"].shape[-2]
     skip_ch = blk0["skip_conv"]["kernel"].shape[-1]
     hbm_io = False
+    dh_hbm = False
     chunk_override = None
     # v5_vmem_est_mb is calibrated at C=Cs=256; scale by channel ratio
     # so non-256 configs dispatch on their real footprint
@@ -489,6 +589,24 @@ def wavenet_forward_pallas_input_grad(params, audio, diffusion_steps, *,
                 chunk_override = ch
                 too_big = False
                 break
+    if too_big:
+        # longer still: evict the backward's dh resident to HBM
+        # (dh_hbm); the forward stays the hbm_io save_h, so the binding
+        # constraint becomes its xa/xb+skip resident (~L<=40000 bf16)
+        for ch in (2000, 1600, 1000, 800, 500):
+            if L_in % ch == 0 and \
+                    gradstack_bwd_dhhbm_vmem_est_mb(
+                        L_in, itemsize, C=c_res, skip_ch=skip_ch,
+                        cyc=dilation_cycle,
+                        chunk_l=ch) <= 118.0 and \
+                    v5x_vmem_est_mb(L_in, itemsize, C=c_res,
+                                    skip_ch=skip_ch, cyc=dilation_cycle,
+                                    chunk_l=ch) + 3.0 <= 118.0:
+                hbm_io = True
+                dh_hbm = True
+                chunk_override = ch
+                too_big = False
+                break
     if num_res_layers % dilation_cycle != 0 or too_big:
         from audiopure_tpu.kernels.wavenet_block_grad import \
             wavenet_forward_pallas_grad
@@ -509,7 +627,7 @@ def wavenet_forward_pallas_input_grad(params, audio, diffusion_steps, *,
     chunk = chunk_override or pick_stack_chunk(
         L_in, prefer=_STACK_CHUNKS[1:])
     skip_sum = fused_stack_input_grad(
-        h, *stack_in, dilation_cycle, chunk, interpret, hbm_io)
+        h, *stack_in, dilation_cycle, chunk, interpret, hbm_io, dh_hbm)
     return wavenet_head(p, skip_sum, num_res_layers)
 
 

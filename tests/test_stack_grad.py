@@ -133,3 +133,48 @@ def test_hbm_io_grad_path_matches_autodiff(setup):
     g_hbm = jax.grad(lambda xx: (fwd(xx, True) * ct).sum())(x)
     np.testing.assert_allclose(np.asarray(g_hbm), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_dh_hbm_grad_path_matches_autodiff(setup):
+    """dh_hbm=True (the longest-audio variant: the backward's dh
+    layer-resident buffer is evicted to HBM and re-read as clamped
+    chunk+2*halo(d) windows) must match XLA autodiff.  L=800 < halo for
+    the large-dilation layers here, so the statically-clamped window DMA
+    and zero-padded edge rows get exercised hard."""
+    from audiopure_tpu.kernels.wavenet_stack_grad import \
+        fused_stack_input_grad
+    from audiopure_tpu.kernels.wavenet_block import (
+        wavenet_head, wavenet_stack_inputs, wavenet_stem)
+
+    net, p, x, t, ct = setup
+
+    def fwd(xx):
+        pp = p["params"]
+        emb, h = wavenet_stem(pp, xx, t, 128, jnp.float32)
+        stack_in = wavenet_stack_inputs(pp, emb, NL, jnp.float32)
+        skip = fused_stack_input_grad(h, *stack_in, 12, 400, True, True,
+                                      True)
+        return wavenet_head(pp, skip, NL)
+
+    out_ref = np.asarray(net.apply(p, x, t))
+    np.testing.assert_allclose(np.asarray(fwd(x)), out_ref,
+                               rtol=1e-5, atol=1e-6)
+
+    g_ref = jax.grad(lambda xx: (net.apply(p, xx, t) * ct).sum())(x)
+    g_dh = jax.grad(lambda xx: (fwd(xx) * ct).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_dh), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-7)
+
+    g_t_ref = jax.grad(lambda tt: (net.apply(p, x, tt) * ct).sum())(t)
+
+    def fwd_t(tt):
+        pp = p["params"]
+        emb, h = wavenet_stem(pp, x, tt, 128, jnp.float32)
+        stack_in = wavenet_stack_inputs(pp, emb, NL, jnp.float32)
+        skip = fused_stack_input_grad(h, *stack_in, 12, 400, True, True,
+                                      True)
+        return wavenet_head(pp, skip, NL)
+
+    g_t = jax.grad(lambda tt: (fwd_t(tt) * ct).sum())(t)
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_t_ref),
+                               rtol=1e-4, atol=1e-7)
