@@ -46,18 +46,25 @@ SQRT_HALF = math.sqrt(0.5)
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("dilation_cycle", "chunk_l",
-                                             "interpret", "hbm_io"))
+                                             "interpret", "hbm_io",
+                                             "save_x"))
 def fused_residual_stack_save_h(x, t_biases, wd, bd, wres, bres, wskip,
                                 bskip, dilation_cycle: int,
                                 chunk_l: int = 2000,
                                 interpret: bool = False,
-                                hbm_io: bool = False):
+                                hbm_io: bool = False,
+                                save_x: bool = False):
     """Returns (skip_sum (B, L, Cs), h_all (B, NL, L, 2C) in ``x.dtype``).
 
     ``hbm_io=True`` mirrors the v5x forward: the audio input and skip
     output stay in HBM and move by explicit DMA, dropping the
     double-buffered in/out staging from VMEM so the long KWS bucket
-    lengths fit (see ``wavenet_block.fused_residual_stack``)."""
+    lengths fit (see ``wavenet_block.fused_residual_stack``).
+
+    ``save_x=True`` additionally streams each layer's INPUT state
+    (``x_all`` (B, NL, L, C), raw — the per-layer t-bias is NOT added)
+    and returns it third; the training backward needs it to form the
+    weight cotangents (``wavenet_stack_train``)."""
     B, L, C = x.shape
     NL, _, _, C2 = wd.shape
     skip_ch = wskip.shape[-1]
@@ -79,8 +86,14 @@ def fused_residual_stack_save_h(x, t_biases, wd, bd, wres, bres, wskip,
                             memory_space=pltpu.VMEM)
 
     def kernel(x_ref, tb_ref, wd_ref, bd_ref, wres_ref, bres_ref,
-               wsk_ref, bsk_ref, out_ref, h_all, xa, xb, skip, hbuf,
-               hsem, *io_sems):
+               wsk_ref, bsk_ref, out_ref, h_all, *rest):
+        if save_x:
+            x_all, xa, xb, skip, hbuf, hsem, xstage, xsem = rest[:8]
+            io_sems = rest[8:]
+        else:
+            x_all, xstage, xsem = None, None, None
+            xa, xb, skip, hbuf, hsem = rest[:5]
+            io_sems = rest[5:]
         b = pl.program_id(0)
         c = pl.program_id(1)
 
@@ -104,6 +117,16 @@ def fused_residual_stack_save_h(x, t_biases, wd, bd, wres, bres, wskip,
             cur, nxt = (xa, xb) if j % 2 == 0 else (xb, xa)
             bias = tb_ref[0, 0, j].astype(dtype)
             for s in range(0, L, chunk_l):
+                if save_x:
+                    # stream the layer input (raw, bias-free) for the
+                    # training backward's weight cotangents
+                    xstage[:] = cur[margin + s: margin + s + chunk_l]
+                    xdma = pltpu.make_async_copy(
+                        xstage,
+                        x_all.at[b, c * cyc + j, pl.ds(s, chunk_l), :],
+                        xsem)
+                    xdma.start()
+                    xdma.wait()
                 taps = []
                 for k in range(3):
                     off = (k - 1) * d
@@ -166,7 +189,28 @@ def fused_residual_stack_save_h(x, t_biases, wd, bd, wres, bres, wskip,
         skip_spec = pl.BlockSpec((1, L, skip_ch), lambda b, c: (b, 0, 0))
         io_sems = []
 
-    skip_out, h_all = pl.pallas_call(
+    out_specs = [
+        skip_spec,
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, L, skip_ch), dtype),
+        jax.ShapeDtypeStruct((B, NL, L, C2), dtype),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((rows, C), dtype),           # xa
+        pltpu.VMEM((rows, C), dtype),           # xb
+        pltpu.VMEM((L, skip_ch), dtype),        # skip accumulator
+        pltpu.VMEM((chunk_l, C2), dtype),       # h staging buffer
+        pltpu.SemaphoreType.DMA,
+    ]
+    if save_x:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_shape.append(jax.ShapeDtypeStruct((B, NL, L, C), dtype))
+        scratch_shapes += [pltpu.VMEM((chunk_l, C), dtype),  # x staging
+                           pltpu.SemaphoreType.DMA]
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -175,22 +219,9 @@ def fused_residual_stack_save_h(x, t_biases, wd, bd, wres, bres, wskip,
             wspec(3, C, C2), bspec(C2), wspec(C, C), bspec(C),
             wspec(C, skip_ch), bspec(skip_ch),
         ],
-        out_specs=[
-            skip_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, L, skip_ch), dtype),
-            jax.ShapeDtypeStruct((B, NL, L, C2), dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((rows, C), dtype),           # xa
-            pltpu.VMEM((rows, C), dtype),           # xb
-            pltpu.VMEM((L, skip_ch), dtype),        # skip accumulator
-            pltpu.VMEM((chunk_l, C2), dtype),       # h staging buffer
-            pltpu.SemaphoreType.DMA,
-            *io_sems,
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes + list(io_sems),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=123 * 1024 * 1024,
@@ -199,7 +230,9 @@ def fused_residual_stack_save_h(x, t_biases, wd, bd, wres, bres, wskip,
     )(x, t_biases.reshape(B, n_cycles, cyc, C), wd,
       bd.reshape(n_cycles, cyc, C2), wres, bres.reshape(n_cycles, cyc, C),
       wskip, bskip.reshape(n_cycles, cyc, skip_ch))
-    return skip_out, h_all
+    if save_x:
+        return outs[0], outs[1], outs[2]
+    return outs[0], outs[1]
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,406 @@
+"""Whole-net TRAINING VJP for the WaveNet stack: v5 forward + one
+layer-resident backward that produces weight/bias gradients too.
+
+``wavenet_stack_grad`` covers the adaptive-attack contract (input/t-bias
+cotangents only; weight grads are exact zeros).  Training
+(`DiffWave_Unconditional/train.py:105-138` in the reference) needs the
+full parameter gradient, which round 3 got from XLA autodiff of the flax
+conv model (measured 53.0% MFU at batch 8 — the whole-net kernels hit
+87-93% of bf16 peak on the same shapes, so the backward is the gap).
+
+Design (mirrors the attack backward, plus weight accumulation):
+
+* forward — :func:`~audiopure_tpu.kernels.wavenet_stack_grad.
+  fused_residual_stack_save_h` with ``save_x=True``: streams each
+  layer's gate pre-activation ``h`` (for the elementwise recompute) AND
+  its raw input state ``x_j`` (for the weight cotangents) to HBM;
+* backward — ONE kernel over (B, n_cycles): the ``dx`` cotangent lives
+  in VMEM ping-pong, cycles stream in reverse, and per layer it
+  additionally accumulates (f32, in VMEM, across length chunks)
+
+  - ``dwd[j,k] = sum_s taps_k(s)^T @ dh(s)`` (taps rebuilt from the
+    streamed ``x_j`` + t-bias with the forward's boundary masking),
+  - ``dwres[j] = sum_s gate(s)^T @ g_res(s)``,
+  - ``dwskip[j] = sum_s gate(s)^T @ g_skip(s)``,
+  - ``dbd[j] = sum_s dh(s)``, ``dbres[j] = sum_s g_res(s)``,
+
+  and DMAs each layer's accumulators to per-batch-row f32 HBM partials
+  (summed over B outside the kernel — keeps megacore-split batch grids
+  race-free).  ``dbskip[j] = sum g_skip`` is layer-independent and is
+  computed in XLA directly.
+
+Reference semantics preserved exactly as in the sibling kernels: zero
+conv padding beyond [0, L) stays bias-free, the residual adds the
+*biased* center tap (ref ``WaveNet.py:78-97`` in-place quirk).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from audiopure_tpu.kernels.wavenet_block import _halo
+
+SQRT_HALF = math.sqrt(0.5)
+
+
+@functools.partial(jax.jit, static_argnames=("dilation_cycle", "chunk_l",
+                                             "interpret"))
+def fused_residual_stack_train_bwd(g_skip, h_all, x_all, t_biases, wd,
+                                   wres, wskip, dilation_cycle: int,
+                                   chunk_l: int = 1000,
+                                   interpret: bool = False):
+    """Training backward of the save_x forward.
+
+    Inputs: g_skip (B, L, Cs) skip-sum cotangent; h_all (B, NL, L, 2C)
+    streamed pre-activations; x_all (B, NL, L, C) streamed layer inputs
+    (raw, bias-free); t_biases (B, NL, C).
+
+    Returns (dx (B, L, C), gtb (B, NL, C) f32, and f32 per-batch-row
+    weight partials: dwd_p (B, NL, 3, C, 2C), dbd_p (B, NL, 1, 2C),
+    dwres_p (B, NL, C, C), dbres_p (B, NL, 1, C),
+    dwskip_p (B, NL, C, Cs)) — sum the partials over B for the grads.
+    """
+    B, NL, L, C2 = h_all.shape
+    assert NL % dilation_cycle == 0, (NL, dilation_cycle)
+    assert L % chunk_l == 0, (L, chunk_l)
+    C = wd.shape[2]
+    skip_ch = wskip.shape[-1]
+    dtype = h_all.dtype
+    n_cycles = NL // dilation_cycle
+    margin = _halo(2 ** (dilation_cycle - 1))
+    rows = margin + L + margin
+    grid = (B, n_cycles)
+    cyc = dilation_cycle
+
+    def wspec(*s):
+        return pl.BlockSpec(
+            (cyc, *s), lambda b, c: (n_cycles - 1 - c,) + (0,) * len(s),
+            memory_space=pltpu.VMEM)
+
+    def kernel(gs_ref, h_all_ref, x_all_ref, tb_ref, wd_ref, wres_ref,
+               wsk_ref, dx_ref, gtb_ref, dwd_ref, dbd_ref, dwres_ref,
+               dbres_ref, dwsk_ref, dxa, dxb, dhf, xj, hbuf, gsbuf,
+               awd, abd, awres, abres, awsk, hsem, gsem, xsem, wgsem):
+        b = pl.program_id(0)
+        c = pl.program_id(1)          # grid step; actual cycle reversed
+
+        @pl.when(c == 0)
+        def _init():
+            dxa[:] = jnp.zeros((rows, C), dtype)
+            dxb[:] = jnp.zeros((rows, C), dtype)
+            # margins are the conv zero padding, for BOTH the dh
+            # transposed reads and the x_j tap reads
+            dhf[:margin] = jnp.zeros((margin, C2), dtype)
+            dhf[margin + L:] = jnp.zeros((margin, C2), dtype)
+            xj[:margin] = jnp.zeros((margin, C), dtype)
+            xj[margin + L:] = jnp.zeros((margin, C), dtype)
+
+        n_swaps = 0
+        for j in reversed(range(cyc)):
+            d = 2 ** j
+            layer = (n_cycles - 1 - c) * cyc + j
+            cur, nxt = (dxa, dxb) if n_swaps % 2 == 0 else (dxb, dxa)
+            n_swaps += 1
+            # the x_j layer input is only needed in pass 2 — fetch it
+            # while pass 1's matmuls run
+            xdma = pltpu.make_async_copy(
+                x_all_ref.at[b, layer], xj.at[pl.ds(margin, L)], xsem)
+            xdma.start()
+            awd[:] = jnp.zeros((3, C, C2), jnp.float32)
+            abd[:] = jnp.zeros((1, C2), jnp.float32)
+            awres[:] = jnp.zeros((C, C), jnp.float32)
+            abres[:] = jnp.zeros((1, C), jnp.float32)
+            awsk[:] = jnp.zeros((C, skip_ch), jnp.float32)
+            gtb_acc = jnp.zeros((1, C), jnp.float32)
+            bias = tb_ref[0, 0, j].astype(dtype)
+            # pass 1: dgate -> dh + gate-side weight accumulators
+            for s in range(0, L, chunk_l):
+                gdma = pltpu.make_async_copy(
+                    gs_ref.at[b, pl.ds(s, chunk_l), :], gsbuf, gsem)
+                gdma.start()
+                dma = pltpu.make_async_copy(
+                    h_all_ref.at[b, layer, pl.ds(s, chunk_l), :],
+                    hbuf, hsem)
+                dma.start()
+                g_next = cur[margin + s: margin + s + chunk_l]
+                g_res = g_next.astype(jnp.float32) * SQRT_HALF
+                g_res_lo = g_res.astype(dtype)
+                dgate = jax.lax.dot_general(
+                    g_res_lo, wres_ref[j],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                gdma.wait()
+                gs_chunk = gsbuf[:]
+                dgate = dgate + jax.lax.dot_general(
+                    gs_chunk, wsk_ref[j],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dma.wait()
+                hh = hbuf[:].astype(jnp.float32)
+                t = jnp.tanh(hh[:, :C])
+                sg = jax.nn.sigmoid(hh[:, C:])
+                gate = (t * sg).astype(dtype)
+                dh1 = dgate * sg * (1.0 - t * t)
+                dh2 = dgate * t * sg * (1.0 - sg)
+                dhf[margin + s: margin + s + chunk_l] = jnp.concatenate(
+                    [dh1, dh2], axis=-1).astype(dtype)
+                # gate-side weight/bias accumulators (contract over the
+                # chunk's position axis)
+                awres[:] = awres[:] + jax.lax.dot_general(
+                    gate, g_res_lo, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                awsk[:] = awsk[:] + jax.lax.dot_general(
+                    gate, gs_chunk, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                abd[:] = abd[:] + jnp.sum(
+                    jnp.concatenate([dh1, dh2], axis=-1), axis=0,
+                    keepdims=True)
+                abres[:] = abres[:] + jnp.sum(g_res, axis=0,
+                                              keepdims=True)
+            xdma.wait()
+            # pass 2: transposed taps + residual path + dwd
+            for s in range(0, L, chunk_l):
+                dh_chunk = dhf[margin + s: margin + s + chunk_l]
+                acc = jnp.zeros((chunk_l, C), jnp.float32)
+                for k in range(3):
+                    off = (1 - k) * d     # dxb[m] += dh[m-(k-1)d] @ wd^T
+                    sl = dhf[margin + s + off:
+                             margin + s + off + chunk_l]
+                    acc = acc + jax.lax.dot_general(
+                        sl, wd_ref[j, k], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    # taps_k for dwd: forward's biased/masked window of
+                    # the layer input at offset (k-1)*d
+                    toff = (k - 1) * d
+                    xsl = xj[margin + s + toff:
+                             margin + s + toff + chunk_l]
+                    if 0 <= s + toff and s + toff + chunk_l <= L:
+                        tap = xsl + bias
+                    else:
+                        row = jax.lax.broadcasted_iota(
+                            jnp.int32, (chunk_l, 1), 0)
+                        g = s + toff + row
+                        valid = jnp.logical_and(g >= 0, g < L)
+                        tap = jnp.where(valid, xsl + bias,
+                                        jnp.zeros((), dtype))
+                    awd[k] = awd[k] + jax.lax.dot_general(
+                        tap, dh_chunk, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                g_next = cur[margin + s: margin + s + chunk_l]
+                dxbv = acc + g_next.astype(jnp.float32) * SQRT_HALF
+                nxt[margin + s: margin + s + chunk_l] = dxbv.astype(dtype)
+                gtb_acc = gtb_acc + jnp.sum(dxbv, axis=0, keepdims=True)
+            gtb_ref[0, 0, j] = gtb_acc[0].astype(gtb_ref.dtype)
+            # flush the layer's weight accumulators to the f32 partials
+            for src, dst in ((awd, dwd_ref), (abd, dbd_ref),
+                             (awres, dwres_ref), (abres, dbres_ref),
+                             (awsk, dwsk_ref)):
+                wdma = pltpu.make_async_copy(src, dst.at[b, layer],
+                                             wgsem)
+                wdma.start()
+                wdma.wait()
+        if cyc % 2 == 1:
+            dxa[margin: margin + L] = dxb[margin: margin + L]
+
+        @pl.when(c == n_cycles - 1)
+        def _out():
+            dx_ref[0] = dxa[margin: margin + L]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),       # g_skip
+            pl.BlockSpec(memory_space=pltpu.ANY),       # h_all
+            pl.BlockSpec(memory_space=pltpu.ANY),       # x_all
+            pl.BlockSpec((1, 1, cyc, C),
+                         lambda b, c: (b, n_cycles - 1 - c, 0, 0)),
+            wspec(3, C, C2), wspec(C, C), wspec(C, skip_ch),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L, C), lambda b, c: (b, 0, 0)),   # dx
+            pl.BlockSpec((1, 1, cyc, C),
+                         lambda b, c: (b, n_cycles - 1 - c, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),       # dwd partials
+            pl.BlockSpec(memory_space=pltpu.ANY),       # dbd
+            pl.BlockSpec(memory_space=pltpu.ANY),       # dwres
+            pl.BlockSpec(memory_space=pltpu.ANY),       # dbres
+            pl.BlockSpec(memory_space=pltpu.ANY),       # dwskip
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, C), dtype),
+            jax.ShapeDtypeStruct((B, n_cycles, cyc, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, NL, 3, C, C2), jnp.float32),
+            jax.ShapeDtypeStruct((B, NL, 1, C2), jnp.float32),
+            jax.ShapeDtypeStruct((B, NL, C, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, NL, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, NL, C, skip_ch), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, C), dtype),            # dxa
+            pltpu.VMEM((rows, C), dtype),            # dxb
+            pltpu.VMEM((rows, C2), dtype),           # dh layer-resident
+            pltpu.VMEM((rows, C), dtype),            # x_j layer-resident
+            pltpu.VMEM((chunk_l, C2), dtype),        # h staging
+            pltpu.VMEM((chunk_l, skip_ch), dtype),   # g_skip staging
+            pltpu.VMEM((3, C, C2), jnp.float32),     # awd
+            pltpu.VMEM((1, C2), jnp.float32),        # abd
+            pltpu.VMEM((C, C), jnp.float32),         # awres
+            pltpu.VMEM((1, C), jnp.float32),         # abres
+            pltpu.VMEM((C, skip_ch), jnp.float32),   # awskip
+            pltpu.SemaphoreType.DMA,                 # hsem
+            pltpu.SemaphoreType.DMA,                 # gsem
+            pltpu.SemaphoreType.DMA,                 # xsem
+            pltpu.SemaphoreType.DMA,                 # wgsem
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=123 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(g_skip, h_all, x_all,
+      t_biases.reshape(B, n_cycles, cyc, C), wd, wres, wskip)
+    dx, gtb = outs[0], outs[1]
+    dwd_p, dbd_p, dwres_p, dbres_p, dwsk_p = outs[2:]
+    return (dx, gtb.reshape(B, NL, C), dwd_p, dbd_p, dwres_p, dbres_p,
+            dwsk_p)
+
+
+def trainstack_bwd_vmem_est_mb(L: int, itemsize: int, C: int = 256,
+                               skip_ch: int = 256, cyc: int = 12,
+                               chunk_l: int = 1000) -> float:
+    """Resident-footprint estimate of the training backward: dx
+    ping-pong + dh resident + x_j resident + dx out block + staging +
+    f32 weight accumulators + double-buffered cycle weights + per-chunk
+    f32 live set, with the 1.35x Mosaic slack of the sibling
+    estimates."""
+    margin = _halo(2 ** (cyc - 1))
+    rows = L + 2 * margin
+    mb = 1.0 / (1024 * 1024)
+    state = (2 * rows * C + rows * 2 * C + rows * C) * itemsize * mb
+    out_blk = L * C * itemsize * mb
+    staging = (chunk_l * 2 * C + chunk_l * skip_ch) * itemsize * mb
+    accs = (3 * C * 2 * C + 2 * C + C * C + C + C * skip_ch) * 4 * mb
+    weights = 2 * cyc * (3 * C * 2 * C + C * C + C * skip_ch) \
+        * itemsize * mb
+    live = (chunk_l * 2 * C + 2 * chunk_l * C) * 4 * mb
+    return (state + out_blk + staging + accs + weights + live) * 1.35
+
+
+# ---------------------------------------------------------------------------
+# custom VJP: full parameter gradients (training contract)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def fused_stack_train(x, t_biases, wd, bd, wres, bres, wskip, bskip,
+                      dilation_cycle: int, chunk_l: int = 2000,
+                      bwd_chunk_l: int = 1000,
+                      interpret: bool = False):
+    """skip_sum with FULL gradients (input, t-bias, every weight/bias) —
+    the training contract, unlike ``fused_stack_input_grad``."""
+    from audiopure_tpu.kernels.wavenet_block import fused_residual_stack
+
+    return fused_residual_stack(x, t_biases, wd, bd, wres, bres, wskip,
+                                bskip, dilation_cycle=dilation_cycle,
+                                chunk_l=chunk_l, interpret=interpret)
+
+
+def _fst_fwd(x, t_biases, wd, bd, wres, bres, wskip, bskip,
+             dilation_cycle, chunk_l, bwd_chunk_l, interpret):
+    from audiopure_tpu.kernels.wavenet_stack_grad import \
+        fused_residual_stack_save_h
+
+    skip, h_all, x_all = fused_residual_stack_save_h(
+        x, t_biases, wd, bd, wres, bres, wskip, bskip,
+        dilation_cycle=dilation_cycle, chunk_l=chunk_l,
+        interpret=interpret, save_x=True)
+    return skip, (h_all, x_all, t_biases, wd, wres, wskip,
+                  (bd, bres, bskip))
+
+
+def _fst_bwd(dilation_cycle, chunk_l, bwd_chunk_l, interpret, res,
+             g_skip):
+    h_all, x_all, t_biases, wd, wres, wskip, (bd, bres, bskip) = res
+    g_skip = g_skip.astype(h_all.dtype)
+    dx, gtb, dwd_p, dbd_p, dwres_p, dbres_p, dwsk_p = \
+        fused_residual_stack_train_bwd(
+            g_skip, h_all, x_all, t_biases, wd, wres, wskip,
+            dilation_cycle=dilation_cycle, chunk_l=bwd_chunk_l,
+            interpret=interpret)
+    # per-batch-row f32 partials -> parameter cotangents
+    g_wd = dwd_p.sum(0).astype(wd.dtype)
+    g_bd = dbd_p.sum(0)[:, 0].astype(bd.dtype)
+    g_wres = dwres_p.sum(0).astype(wres.dtype)
+    g_bres = dbres_p.sum(0)[:, 0].astype(bres.dtype)
+    g_wskip = dwsk_p.sum(0).astype(wskip.dtype)
+    # bskip is added once per layer per position: its grad is the same
+    # g_skip total for every layer
+    s = g_skip.astype(jnp.float32).sum(axis=(0, 1))
+    g_bskip = jnp.broadcast_to(s[None, :], bskip.shape).astype(
+        bskip.dtype)
+    return (dx, gtb.astype(t_biases.dtype), g_wd, g_bd, g_wres, g_bres,
+            g_wskip, g_bskip)
+
+
+fused_stack_train.defvjp(_fst_fwd, _fst_bwd)
+
+
+def wavenet_forward_pallas_train(params, audio, diffusion_steps, *,
+                                 num_res_layers: int = 36,
+                                 dilation_cycle: int = 12,
+                                 embed_dim_in: int = 128,
+                                 dtype=jnp.bfloat16,
+                                 interpret=None):
+    """Full WaveNet forward on the whole-net kernel, differentiable
+    w.r.t. EVERY parameter — drop-in ``apply_fn`` for
+    ``training.diffwave.make_train_step`` (same param tree / outputs as
+    ``wavenet_forward_pallas`` / the flax model).
+
+    Stem and head (1x1 convs, timestep MLP — <1% of FLOPs) stay XLA
+    autodiff; the 36-layer stack runs the custom VJP.  Falls back to
+    the flax model when the footprint estimate exceeds VMEM or the
+    layer count is a partial cycle."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    from audiopure_tpu.kernels.wavenet_block import (
+        pick_stack_chunk, v5_vmem_est_mb, wavenet_head,
+        wavenet_stack_inputs, wavenet_stem)
+
+    L_in = audio.shape[-1]
+    itemsize = jnp.dtype(dtype).itemsize
+    blk0 = params["params"]["res_block_0"]
+    c_res = blk0["res_conv"]["kernel"].shape[-2]
+    skip_ch = blk0["skip_conv"]["kernel"].shape[-1]
+    ch_scale = (c_res + skip_ch) / 512.0
+    bwd_chunk = next(
+        (ch for ch in (1000, 800, 500, 400)
+         if L_in % ch == 0 and trainstack_bwd_vmem_est_mb(
+             L_in, itemsize, C=c_res, skip_ch=skip_ch,
+             cyc=dilation_cycle, chunk_l=ch) <= 118.0), None)
+    too_big = (not interpret) and (
+        bwd_chunk is None
+        # save_x forward = v5 resident + h/x staging
+        or v5_vmem_est_mb(L_in, itemsize) * ch_scale + 3.0 > 121.0)
+    if num_res_layers % dilation_cycle != 0 or too_big:
+        from audiopure_tpu.models.wavenet import WaveNet
+
+        net = WaveNet(res_channels=c_res, skip_channels=skip_ch,
+                      num_res_layers=num_res_layers,
+                      dilation_cycle=dilation_cycle,
+                      diffusion_step_embed_dim_in=embed_dim_in,
+                      dtype=dtype, remat=True)
+        return net.apply(params, audio, diffusion_steps)
+
+    p = params["params"]
+    emb, h = wavenet_stem(p, audio, diffusion_steps, embed_dim_in, dtype)
+    stack_in = wavenet_stack_inputs(p, emb, num_res_layers, dtype)
+    chunk = pick_stack_chunk(L_in, prefer=(2000, 1000, 800, 500, 400))
+    skip_sum = fused_stack_train(
+        h, *stack_in, dilation_cycle, chunk, bwd_chunk or 400, interpret)
+    return wavenet_head(p, skip_sum, num_res_layers)

@@ -88,8 +88,9 @@ def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
     if _uses_input_grad_kernel(apply_fn):
         raise ValueError(
             "apply_fn is the input-grad-only attack kernel; training needs "
-            "weight gradients — use wavenet_forward_pallas_grad or the "
-            "flax apply")
+            "weight gradients — use wavenet_forward_pallas_train (whole-net"
+            " VJP), wavenet_forward_pallas_grad (per-layer) or the flax "
+            "apply")
 
     def train_step(state: TrainState, x0: jnp.ndarray
                    ) -> Tuple[TrainState, jnp.ndarray]:

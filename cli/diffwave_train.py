@@ -46,9 +46,11 @@ def main(argv=None):
     parser.add_argument("--dp", type=int, default=-1)
     parser.add_argument("--tp", type=int, default=1)
     parser.add_argument("--conv_impl", default="xla",
-                        choices=["xla", "pallas"],
-                        help="'pallas' trains through the fused kernel's "
-                             "custom VJP (dp-only: needs --tp 1, no "
+                        choices=["xla", "pallas", "pallas_stack"],
+                        help="'pallas' trains through the per-layer fused "
+                             "kernel's custom VJP; 'pallas_stack' through "
+                             "the whole-net layer-resident training VJP "
+                             "(both dp-only: need --tp 1, no "
                              "--weight_norm, a TPU backend)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
@@ -138,17 +140,21 @@ def main(argv=None):
         opt_state=jax.tree_util.tree_map(lambda _: rep, state.opt_state),
         key=rep)
     apply_fn = net.apply
-    if args.conv_impl == "pallas":
+    if args.conv_impl in ("pallas", "pallas_stack"):
         unsupported = (args.tp != 1 or args.weight_norm
                        or jax.default_backend() not in ("tpu", "axon"))
         if unsupported:
-            print("WARNING: --conv_impl pallas needs --tp 1, no "
-                  "--weight_norm and a TPU backend; using xla")
+            print(f"WARNING: --conv_impl {args.conv_impl} needs --tp 1, "
+                  "no --weight_norm and a TPU backend; using xla")
         else:
-            from audiopure_tpu.kernels.wavenet_block_grad import \
-                wavenet_forward_pallas_grad
+            if args.conv_impl == "pallas_stack":
+                from audiopure_tpu.kernels.wavenet_stack_train import \
+                    wavenet_forward_pallas_train as fwd
+            else:
+                from audiopure_tpu.kernels.wavenet_block_grad import \
+                    wavenet_forward_pallas_grad as fwd
             w = cfg.wavenet
-            apply_fn = lambda p, xx, tt: wavenet_forward_pallas_grad(
+            apply_fn = lambda p, xx, tt: fwd(
                 p, xx, tt, num_res_layers=w.num_res_layers,
                 dilation_cycle=w.dilation_cycle,
                 embed_dim_in=w.diffusion_step_embed_dim_in,
