@@ -100,6 +100,70 @@ def main():
         probe(f"train_pallas_stack_b{B}", kernel_fn, B)
     probe("train_xla_b8_regression", xla_fn, 8)
 
+    # ---- UNet (spec-path) training throughput — never benchmarked ----
+    # TrainLoop's jitted step (microbatch scan, AdamW, 1x EMA), driven
+    # directly so no per-step host sync lands in the timed region.
+    # MFU model: 3 x 15.73 GF per image forward (the DiffSpec FLOP
+    # denominator, docs/BENCH.md round-3 section).
+    def unet_train(B, dtype_name):
+        def run():
+            from audiopure_tpu.diffusion.gaussian import \
+                create_gaussian_diffusion
+            from audiopure_tpu.models.unet import create_unet
+            from audiopure_tpu.training.train_loop import TrainLoop
+
+            dt = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+            unet = create_unet(dtype=dt)
+            diffusion = create_gaussian_diffusion(
+                steps=4000, noise_schedule="linear")
+            uparams = jax.jit(unet.init)(jax.random.PRNGKey(0),
+                                         jnp.zeros((1, 1, 32, 32)),
+                                         jnp.zeros((1,)))
+            loop = TrainLoop(
+                lambda p, x, t: unet.apply(p, x, t).astype(jnp.float32),
+                uparams, diffusion, iter(()), batch_size=B, lr=1e-4)
+            x = jax.random.normal(jax.random.PRNGKey(1),
+                                  (B, 1, 32, 32)) * 0.5
+            t = jnp.zeros((B,), jnp.int32) + 100
+            w = jnp.ones((B,))
+            params, opt_state, ema = loop.params, loop.opt_state, \
+                loop.ema_params
+            key = jax.random.PRNGKey(2)
+            step_fn = loop._train_step
+            params, opt_state, ema, loss, _, _ = step_fn(
+                params, opt_state, ema, x, t, w, key, {})
+            loss0 = float(loss)
+            steps = 30
+            t0 = time.perf_counter()
+            for i in range(steps):
+                params, opt_state, ema, loss, _, _ = step_fn(
+                    params, opt_state, ema, x, t, w, key, {})
+            lossN = float(loss)
+            dtm = time.perf_counter() - t0
+            sps = steps / dtm
+            step_tflop = 3 * 15.73e-3 * B
+            return dict(steps_per_sec=round(sps, 3),
+                        ms_per_step=round(1e3 / sps, 1),
+                        tflops=round(step_tflop * sps, 1),
+                        pct_bf16_peak=round(
+                            100 * step_tflop * sps / PEAK, 1),
+                        batch=B, dtype=dtype_name,
+                        loss_first=round(loss0, 4),
+                        loss_after=round(lossN, 4))
+        return run
+
+    for B, dn in ((128, "bf16"), (128, "f32"), (256, "bf16")):
+        try:
+            results[f"unet_train_{dn}_b{B}"] = unet_train(B, dn)()
+            print(json.dumps({"probe": f"unet_train_{dn}_b{B}",
+                              **results[f"unet_train_{dn}_b{B}"]}),
+                  flush=True)
+        except Exception as e:
+            import traceback
+            traceback.print_exc()
+            print(json.dumps({"probe": f"unet_train_{dn}_b{B}",
+                              "error": str(e)[:300]}), flush=True)
+
     with open("/tmp/round3m_results.json", "w") as f:
         json.dump(results, f, indent=1)
     print("DONE", flush=True)
