@@ -88,10 +88,10 @@ def fused_residual_stack_save_h(x, t_biases, wd, bd, wres, bres, wskip,
     def kernel(x_ref, tb_ref, wd_ref, bd_ref, wres_ref, bres_ref,
                wsk_ref, bsk_ref, out_ref, h_all, *rest):
         if save_x:
-            x_all, xa, xb, skip, hbuf, hsem, xstage, xsem = rest[:8]
-            io_sems = rest[8:]
+            x_all, xa, xb, skip, hbuf, hsem, xsem = rest[:7]
+            io_sems = rest[7:]
         else:
-            x_all, xstage, xsem = None, None, None
+            x_all, xsem = None, None
             xa, xb, skip, hbuf, hsem = rest[:5]
             io_sems = rest[5:]
         b = pl.program_id(0)
@@ -116,17 +116,17 @@ def fused_residual_stack_save_h(x, t_biases, wd, bd, wres, bres, wskip,
             d = 2 ** j
             cur, nxt = (xa, xb) if j % 2 == 0 else (xb, xa)
             bias = tb_ref[0, 0, j].astype(dtype)
+            if save_x:
+                # stream the layer input (raw, bias-free) for the
+                # training backward's weight cotangents: ONE async DMA
+                # straight from the ping-pong buffer, overlapped with
+                # this layer's chunk loop (cur is read-only until the
+                # NEXT layer writes it as its nxt — wait below)
+                xdma = pltpu.make_async_copy(
+                    cur.at[pl.ds(margin, L)], x_all.at[b, c * cyc + j],
+                    xsem)
+                xdma.start()
             for s in range(0, L, chunk_l):
-                if save_x:
-                    # stream the layer input (raw, bias-free) for the
-                    # training backward's weight cotangents
-                    xstage[:] = cur[margin + s: margin + s + chunk_l]
-                    xdma = pltpu.make_async_copy(
-                        xstage,
-                        x_all.at[b, c * cyc + j, pl.ds(s, chunk_l), :],
-                        xsem)
-                    xdma.start()
-                    xdma.wait()
                 taps = []
                 for k in range(3):
                     off = (k - 1) * d
@@ -167,6 +167,10 @@ def fused_residual_stack_save_h(x, t_biases, wd, bd, wres, bres, wskip,
                               preferred_element_type=jnp.float32)
                     + bsk_ref[0, j].astype(jnp.float32)[None, :]
                 ).astype(dtype)
+            if save_x:
+                # must complete before the next layer overwrites cur
+                # (the next layer's nxt IS this layer's cur)
+                xdma.wait()
         if cyc % 2 == 1:
             xa[margin: margin + L] = xb[margin: margin + L]
 
@@ -207,8 +211,7 @@ def fused_residual_stack_save_h(x, t_biases, wd, bd, wres, bres, wskip,
     if save_x:
         out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         out_shape.append(jax.ShapeDtypeStruct((B, NL, L, C), dtype))
-        scratch_shapes += [pltpu.VMEM((chunk_l, C), dtype),  # x staging
-                           pltpu.SemaphoreType.DMA]
+        scratch_shapes.append(pltpu.SemaphoreType.DMA)  # xsem
 
     outs = pl.pallas_call(
         kernel,

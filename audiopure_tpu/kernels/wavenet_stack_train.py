@@ -380,13 +380,13 @@ def wavenet_forward_pallas_train(params, audio, diffusion_steps, *,
     ch_scale = (c_res + skip_ch) / 512.0
     bwd_chunk = next(
         (ch for ch in (1000, 800, 500, 400)
-         if L_in % ch == 0 and trainstack_bwd_vmem_est_mb(
+         if L_in % ch == 0 and (interpret or trainstack_bwd_vmem_est_mb(
              L_in, itemsize, C=c_res, skip_ch=skip_ch,
-             cyc=dilation_cycle, chunk_l=ch) <= 118.0), None)
-    too_big = (not interpret) and (
-        bwd_chunk is None
+             cyc=dilation_cycle, chunk_l=ch) <= 118.0)), None)
+    too_big = bwd_chunk is None or (
         # save_x forward = v5 resident + h/x staging
-        or v5_vmem_est_mb(L_in, itemsize) * ch_scale + 3.0 > 121.0)
+        (not interpret)
+        and v5_vmem_est_mb(L_in, itemsize) * ch_scale + 3.0 > 121.0)
     if num_res_layers % dilation_cycle != 0 or too_big:
         from audiopure_tpu.models.wavenet import WaveNet
 
@@ -402,5 +402,5 @@ def wavenet_forward_pallas_train(params, audio, diffusion_steps, *,
     stack_in = wavenet_stack_inputs(p, emb, num_res_layers, dtype)
     chunk = pick_stack_chunk(L_in, prefer=(2000, 1000, 800, 500, 400))
     skip_sum = fused_stack_train(
-        h, *stack_in, dilation_cycle, chunk, bwd_chunk or 400, interpret)
+        h, *stack_in, dilation_cycle, chunk, bwd_chunk, interpret)
     return wavenet_head(p, skip_sum, num_res_layers)

@@ -47,8 +47,13 @@ def main():
             print(json.dumps({"probe": name, "error": str(e)[:200]}),
                   flush=True)
 
+    from audiopure_tpu.utils.jit_utils import hoisted_jit
+
     def chained(fn, x0, n):
-        @jax.jit
+        # hoisted_jit per CLAUDE.md: fn's closure holds the full param
+        # tree — as a plain jit it would lower as ~100 MB of literals
+        # through the remote-compile tunnel
+        @hoisted_jit
         def run(x):
             def body(c, _):
                 y = fn(c)
@@ -100,9 +105,9 @@ def main():
         x = jax.random.normal(jax.random.PRNGKey(3), (2, 1, L)) * 0.3
         t = jnp.full((2, 1), 5.0)
         ct = jax.random.normal(jax.random.PRNGKey(4), (2, 1, L)) * 0.1
-        g_ref = jax.jit(jax.grad(lambda xx: (
+        g_ref = hoisted_jit(jax.grad(lambda xx: (
             netf32.apply(wparams, xx, t) * ct).sum()))(x)
-        g_dh = jax.jit(jax.grad(lambda xx: (
+        g_dh = hoisted_jit(jax.grad(lambda xx: (
             wavenet_forward_pallas_input_grad(
                 wparams, xx, t, dtype=jnp.bfloat16).astype(jnp.float32)
             * ct).sum()))(x)

@@ -178,3 +178,40 @@ def test_dh_hbm_grad_path_matches_autodiff(setup):
     g_t = jax.grad(lambda tt: (fwd_t(tt) * ct).sum())(t)
     np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_t_ref),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_dh_hbm_multi_cycle_matches_autodiff():
+    """n_cycles=2 (NL=24, cyc=12): the dh_hbm window DMAs and the dx
+    carry must also hold across reversed grid steps."""
+    from audiopure_tpu.kernels.wavenet_stack_grad import \
+        fused_stack_input_grad
+    from audiopure_tpu.kernels.wavenet_block import (
+        wavenet_head, wavenet_stack_inputs, wavenet_stem)
+
+    NL2, C2, L2 = 24, 8, 400
+    net = WaveNet(res_channels=C2, skip_channels=C2, num_res_layers=NL2,
+                  dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, L2)) * 0.3
+    t = jnp.full((1, 1), 5.0)
+    p = flax.core.unfreeze(net.init(jax.random.PRNGKey(1), x, t))
+    p["params"]["final_conv2"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(2),
+        p["params"]["final_conv2"]["kernel"].shape) * 0.05
+    ct = jax.random.normal(jax.random.PRNGKey(3),
+                           net.apply(p, x, t).shape) * 0.1
+
+    def fwd(xx):
+        pp = p["params"]
+        emb, h = wavenet_stem(pp, xx, t, 128, jnp.float32)
+        stack_in = wavenet_stack_inputs(pp, emb, NL2, jnp.float32)
+        skip = fused_stack_input_grad(h, *stack_in, 12, 400, True, True,
+                                      True)
+        return wavenet_head(pp, skip, NL2)
+
+    np.testing.assert_allclose(np.asarray(fwd(x)),
+                               np.asarray(net.apply(p, x, t)),
+                               rtol=1e-5, atol=1e-6)
+    g_ref = jax.grad(lambda xx: (net.apply(p, xx, t) * ct).sum())(x)
+    g_dh = jax.grad(lambda xx: (fwd(xx) * ct).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_dh), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-7)

@@ -76,6 +76,44 @@ def test_input_and_t_gradients_match_autodiff(setup):
                                rtol=1e-4, atol=1e-7)
 
 
+def test_multi_cycle_param_gradients_match_autodiff():
+    """NL=24 with dilation_cycle=12 gives n_cycles=2, exercising every
+    reversed-cycle index map (tb/wspec/layer into h_all/x_all and the
+    five weight-partial outputs) and the dxa carry across grid steps —
+    all of which are invisible at n_cycles=1."""
+    NL2, C2, L2 = 24, 8, 400
+    net = WaveNet(res_channels=C2, skip_channels=C2, num_res_layers=NL2,
+                  dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, L2)) * 0.3
+    t = jnp.full((1, 1), 5.0)
+    p = flax.core.unfreeze(net.init(jax.random.PRNGKey(1), x, t))
+    p["params"]["final_conv2"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(2),
+        p["params"]["final_conv2"]["kernel"].shape) * 0.05
+    ct = jax.random.normal(jax.random.PRNGKey(3),
+                           net.apply(p, x, t).shape) * 0.1
+
+    def kfwd(pp, xx, tt):
+        return wavenet_forward_pallas_train(
+            pp, xx, tt, num_res_layers=NL2, dtype=jnp.float32,
+            interpret=True)
+
+    np.testing.assert_allclose(np.asarray(kfwd(p, x, t)),
+                               np.asarray(net.apply(p, x, t)),
+                               rtol=1e-5, atol=1e-6)
+    g_ref = jax.grad(lambda pp: (net.apply(pp, x, t) * ct).sum())(p)
+    g_got = jax.grad(lambda pp: (kfwd(pp, x, t) * ct).sum())(p)
+    flat_ref = flax.traverse_util.flatten_dict(g_ref["params"])
+    flat_got = flax.traverse_util.flatten_dict(g_got["params"])
+    bad = []
+    for k in sorted(flat_ref):
+        r, g = np.asarray(flat_ref[k]), np.asarray(flat_got[k])
+        err = np.abs(g - r).max() / max(np.abs(r).max(), 1e-8)
+        if err > 2e-4:
+            bad.append(("/".join(k), float(err)))
+    assert not bad, bad
+
+
 def test_train_step_accepts_kernel_apply_fn(setup):
     """End-to-end: make_train_step with the kernel apply_fn runs one
     optimizer step and moves the loss the same way as the flax path."""
