@@ -114,6 +114,51 @@ def test_multi_cycle_param_gradients_match_autodiff():
     assert not bad, bad
 
 
+def test_train_step_dp_mesh_matches_single_device(setup):
+    """The pallas_stack train step under an 8-device dp mesh (interpret
+    kernels on the CPU mesh, the repo's multi-chip semantic check) must
+    produce the same loss and params as the unsharded step."""
+    import numpy as onp
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from audiopure_tpu.diffusion.schedule import make_schedule
+    from audiopure_tpu.training.diffwave import (init_train_state,
+                                                 make_train_step)
+
+    net, p, x, t, ct = setup
+    sched = make_schedule(50, 1e-4, 0.02)
+    opt = optax.adam(1e-3)
+    x0 = jax.random.normal(jax.random.PRNGKey(4), (8, 1, L)) * 0.3
+    step_plain = make_train_step(_kernel_fwd, sched, opt)
+    s0 = init_train_state(p, opt, jax.random.PRNGKey(5))
+    s1, loss1 = jax.jit(step_plain)(s0, x0)
+
+    mesh = Mesh(onp.array(jax.devices()[:8]).reshape(8), ("dp",))
+    rep = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P("dp"))
+    s0b = init_train_state(p, opt, jax.random.PRNGKey(5))
+    ssh = type(s0b)(
+        step=rep,
+        params=jax.tree_util.tree_map(lambda _: rep, s0b.params),
+        opt_state=jax.tree_util.tree_map(lambda _: rep, s0b.opt_state),
+        key=rep)
+    step_dp = jax.jit(step_plain, in_shardings=(ssh, bsh),
+                      out_shardings=(ssh, rep))
+    with mesh:
+        s2, loss2 = step_dp(jax.device_put(s0b, ssh),
+                            jax.device_put(x0, bsh))
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-6)
+    f1 = flax.traverse_util.flatten_dict(s1.params["params"])
+    f2 = flax.traverse_util.flatten_dict(s2.params["params"])
+    for k in f1:
+        # the dp batch-grad psum reassociates f32 sums (~1e-6 noise on
+        # Adam-scale updates); semantic agreement, not bit equality
+        np.testing.assert_allclose(np.asarray(f2[k]), np.asarray(f1[k]),
+                                   rtol=1e-4, atol=5e-6,
+                                   err_msg="/".join(k))
+
+
 def test_train_step_accepts_kernel_apply_fn(setup):
     """End-to-end: make_train_step with the kernel apply_fn runs one
     optimizer step and moves the loss the same way as the flax path."""
