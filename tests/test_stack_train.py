@@ -114,6 +114,57 @@ def test_multi_cycle_param_gradients_match_autodiff():
     assert not bad, bad
 
 
+@pytest.mark.parametrize("nl,cyc,ch,ll,chunk", [
+    (6, 3, 8, 240, 120),    # odd cycle: exercises the xb->xa copy-back
+    (10, 5, 16, 200, 200),  # odd cycle, single chunk
+    (8, 4, 8, 256, 128),    # even cycle, 2 cycles, non-default chunk
+])
+def test_config_sweep_gradients_match_autodiff(nl, cyc, ch, ll, chunk):
+    """Direct fused_stack_train calls across odd/even dilation cycles,
+    cycle counts and chunkings — full param + input grads vs flax."""
+    from audiopure_tpu.kernels.wavenet_stack_train import \
+        fused_stack_train
+    from audiopure_tpu.kernels.wavenet_block import (
+        wavenet_head, wavenet_stack_inputs, wavenet_stem)
+
+    net = WaveNet(res_channels=ch, skip_channels=ch, num_res_layers=nl,
+                  dilation_cycle=cyc, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, ll)) * 0.3
+    t = jnp.full((1, 1), 5.0)
+    p = flax.core.unfreeze(net.init(jax.random.PRNGKey(1), x, t))
+    p["params"]["final_conv2"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(2),
+        p["params"]["final_conv2"]["kernel"].shape) * 0.05
+    ct = jax.random.normal(jax.random.PRNGKey(3),
+                           net.apply(p, x, t).shape) * 0.1
+
+    def kfwd(pp, xx):
+        prms = pp["params"]
+        emb, h = wavenet_stem(prms, xx, t, 128, jnp.float32)
+        si = wavenet_stack_inputs(prms, emb, nl, jnp.float32)
+        skip = fused_stack_train(h, *si, cyc, chunk, chunk, True)
+        return wavenet_head(prms, skip, nl)
+
+    np.testing.assert_allclose(np.asarray(kfwd(p, x)),
+                               np.asarray(net.apply(p, x, t)),
+                               rtol=1e-5, atol=1e-6)
+    g_ref = jax.grad(lambda pp: (net.apply(pp, x, t) * ct).sum())(p)
+    g_got = jax.grad(lambda pp: (kfwd(pp, x) * ct).sum())(p)
+    fr = flax.traverse_util.flatten_dict(g_ref["params"])
+    fg = flax.traverse_util.flatten_dict(g_got["params"])
+    bad = []
+    for k in sorted(fr):
+        r, g = np.asarray(fr[k]), np.asarray(fg[k])
+        err = np.abs(g - r).max() / max(np.abs(r).max(), 1e-8)
+        if err > 2e-4:
+            bad.append(("/".join(k), float(err)))
+    assert not bad, bad
+    gx_ref = jax.grad(lambda xx: (net.apply(p, xx, t) * ct).sum())(x)
+    gx_got = jax.grad(lambda xx: (kfwd(p, xx) * ct).sum())(x)
+    np.testing.assert_allclose(np.asarray(gx_got), np.asarray(gx_ref),
+                               rtol=1e-4, atol=1e-7)
+
+
 def test_train_step_dp_mesh_matches_single_device(setup):
     """The pallas_stack train step under an 8-device dp mesh (interpret
     kernels on the CPU mesh, the repo's multi-chip semantic check) must
