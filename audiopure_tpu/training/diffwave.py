@@ -80,8 +80,16 @@ def _uses_input_grad_kernel(fn, depth: int = 3, seen=None) -> bool:
 
 
 def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
-                    optimizer: optax.GradientTransformation):
-    """Returns ``train_step(state, batch) -> (state, loss)`` (pure, jittable)."""
+                    optimizer: optax.GradientTransformation,
+                    microbatch: int = -1):
+    """Returns ``train_step(state, batch) -> (state, loss)`` (pure, jittable).
+
+    ``microbatch > 0`` accumulates gradients over ``batch/microbatch``
+    sequential slices inside the jitted step (the TrainLoop pattern,
+    ``training/train_loop.py``) — bounds the activation/stream residency
+    of large global batches; each slice draws its own (t, z), so the
+    estimator is the same uniform-t MSE at a finer sampling granularity.
+    """
     # the whole-net input-grad kernel returns exact-zero weight cotangents
     # by contract (attack path only); wiring it here would silently train
     # nothing (advisor r2) — fail loudly instead
@@ -95,9 +103,35 @@ def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
     def train_step(state: TrainState, x0: jnp.ndarray
                    ) -> Tuple[TrainState, jnp.ndarray]:
         key, sub = jax.random.split(state.key)
-        loss, grads = jax.value_and_grad(
-            lambda p: diffusion_training_loss(apply_fn, p, x0, sub,
-                                              schedule))(state.params)
+        B = x0.shape[0]
+        if microbatch <= 0 or microbatch == B:
+            n_micro = 1
+        else:
+            assert B % microbatch == 0, (B, microbatch)
+            n_micro = B // microbatch
+        if n_micro <= 1:
+            loss, grads = jax.value_and_grad(
+                lambda p: diffusion_training_loss(apply_fn, p, x0, sub,
+                                                  schedule))(state.params)
+        else:
+            assert B % microbatch == 0, (B, microbatch)
+            xm = x0.reshape(n_micro, microbatch, *x0.shape[1:])
+            keys = jax.random.split(sub, n_micro)
+
+            def micro(carry, inp):
+                gsum, lsum = carry
+                xi, ki = inp
+                li, gi = jax.value_and_grad(
+                    lambda p: diffusion_training_loss(
+                        apply_fn, p, xi, ki, schedule))(state.params)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, gi)
+                return (gsum, lsum + li), None
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (gsum, lsum), _ = jax.lax.scan(
+                micro, (zero, jnp.asarray(0.0)), (xm, keys))
+            grads = jax.tree_util.tree_map(lambda g: g / n_micro, gsum)
+            loss = lsum / n_micro
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)

@@ -52,6 +52,11 @@ def main(argv=None):
                              "the whole-net layer-resident training VJP "
                              "(both dp-only: need --tp 1, no "
                              "--weight_norm, a TPU backend)")
+    parser.add_argument("--microbatch", type=int, default=-1,
+                        help="gradient-accumulation slice size inside "
+                             "the jitted step (bounds activation/stream "
+                             "residency of large batches); -1 = whole "
+                             "batch")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -160,7 +165,8 @@ def main(argv=None):
                 embed_dim_in=w.diffusion_step_embed_dim_in,
                 dtype=jnp.bfloat16).astype(jnp.float32)
     train_step = jax.jit(
-        make_train_step(apply_fn, schedule, optimizer),
+        make_train_step(apply_fn, schedule, optimizer,
+                        microbatch=args.microbatch),
         in_shardings=(state_sharding, batch_sharding(mesh)),
         out_shardings=(state_sharding, rep))
     state = jax.device_put(state, state_sharding)

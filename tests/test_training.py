@@ -411,3 +411,52 @@ def test_train_step_rejects_input_grad_kernel_wrappers():
 
     # a legitimate apply fn still passes
     make_train_step(lambda p, x, t: x, sched, opt)
+
+
+# ---------------------------------------------------------------------------
+# diffwave train-step microbatching (gradient accumulation)
+# ---------------------------------------------------------------------------
+def test_diffwave_microbatch_matches_manual_accumulation():
+    """make_train_step(microbatch=m) must apply the mean of the
+    per-slice gradients, each slice drawing its own (t, z) key — checked
+    against a hand-built accumulation with the identical key split."""
+    from audiopure_tpu.diffusion.schedule import make_schedule
+    from audiopure_tpu.training.diffwave import (
+        diffusion_training_loss, init_train_state,
+        make_train_step)
+
+    net = WaveNet(res_channels=8, skip_channels=8, num_res_layers=4,
+                  dilation_cycle=2, dtype=jnp.float32)
+    p = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 256)),
+                 jnp.zeros((1, 1)))
+    sched = make_schedule(20, 1e-4, 0.02)
+    opt = optax.sgd(1e-2)   # linear optimizer: update == -lr * grad
+    apply_fn = lambda pp, xx, tt: net.apply(pp, xx, tt)
+    x0 = jax.random.normal(jax.random.PRNGKey(4), (4, 1, 256)) * 0.3
+
+    state = init_train_state(p, opt, jax.random.PRNGKey(7))
+    step = jax.jit(make_train_step(apply_fn, sched, opt, microbatch=2))
+    new_state, loss = step(state, x0)
+
+    # manual: same key schedule as the step
+    _, sub = jax.random.split(state.key)
+    keys = jax.random.split(sub, 2)
+    losses, grads = [], []
+    for i in range(2):
+        li, gi = jax.value_and_grad(
+            lambda pp: diffusion_training_loss(
+                apply_fn, pp, x0[2 * i: 2 * i + 2], keys[i], sched))(p)
+        losses.append(li)
+        grads.append(gi)
+    gmean = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, *grads)
+    np.testing.assert_allclose(float(loss),
+                               float((losses[0] + losses[1]) / 2),
+                               rtol=1e-6)
+    import flax
+    fn = flax.traverse_util.flatten_dict(new_state.params["params"])
+    fo = flax.traverse_util.flatten_dict(p["params"])
+    fg = flax.traverse_util.flatten_dict(gmean["params"])
+    for k in fn:
+        np.testing.assert_allclose(
+            np.asarray(fn[k]), np.asarray(fo[k]) - 1e-2 * np.asarray(fg[k]),
+            rtol=1e-5, atol=1e-8, err_msg="/".join(k))
