@@ -1,0 +1,103 @@
+"""Fused 3x3 SAME conv for the UNet's NHWC images (pallas).
+
+XLA's conv emitter measures ~66% of bf16 peak on the UNet's small
+images (32x32..4x4, C=128..256 — docs/BENCH.md round-3d ablation); this
+kernel restates the conv as the WaveNet-taps pattern in 2D: the input
+is staged into VMEM as a zero-PADDED row-major flat image of stride
+(W+2), where every (dy, dx) tap of the 3x3 window becomes ONE stride-1
+slice of the flat buffer at offset dy*(W+2)+dx — nine sublane-shifted
+slices feeding nine f32-accumulated MXU matmuls, weights resident.
+Outputs are computed on the padded-width grid ((H, W+2) rows, ~6%
+redundant columns) and the interior is sliced out on the way to HBM.
+
+Reference op: ``improved_diffusion/unet.py`` ResBlock 3x3 convs (conv
+math itself is torch ``nn.Conv2d(padding=1)``); parity is against
+``lax.conv_general_dilated`` NHWC in tests/test_unet_conv.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def conv3x3_pallas(x, w, b=None, *, tile_b: int = 0,
+                   interpret=None):
+    """NHWC 3x3 SAME conv: x (B, H, W, C) @ w (3, 3, C, Cout) + b.
+
+    f32 accumulation, output in ``x.dtype``. ``tile_b=0`` picks the
+    largest divisor of B with a <=64 MB resident estimate."""
+    if interpret is None:
+        # repo convention: the TPU platform here is named "axon"
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    B, H, W, C = x.shape
+    assert w.shape[:2] == (3, 3) and w.shape[2] == C, (x.shape, w.shape)
+    Cout = w.shape[-1]
+    dtype = x.dtype
+    Wp = W + 2
+    rows_acc = H * Wp         # output rows on the padded-width grid
+    # padded image needs (H+2)*Wp rows; the (dy=2, dx=2) tap slice ends
+    # at 2*Wp+2 + rows_acc — two rows past it, kept zero
+    S = rows_acc + 2 * Wp + 2
+
+    if tile_b <= 0:
+        itemsize = jnp.dtype(dtype).itemsize
+        for cand in (64, 32, 16, 8, 4, 2, 1):
+            mb = (cand * (S * C * itemsize + rows_acc * Cout * 4
+                          + 2 * H * W * max(C, Cout) * itemsize)
+                  ) / (1024 * 1024)
+            if B % cand == 0 and mb <= 64.0:
+                tile_b = cand
+                break
+    assert B % tile_b == 0, (B, tile_b)
+
+    if b is None:
+        b = jnp.zeros((Cout,), jnp.float32)
+
+    def kernel(x_ref, w_ref, b_ref, out_ref, pbuf):
+        # stage the zero-padded flat image: interior row r of image i
+        # lives at flat rows [(r+1)*Wp+1, (r+1)*Wp+1+W)
+        pbuf[:] = jnp.zeros((tile_b, S, C), dtype)
+        for r in range(H):
+            base = (r + 1) * Wp + 1
+            pbuf[:, base: base + W] = x_ref[:, r]
+        a = jnp.zeros((tile_b, rows_acc, Cout), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                off = dy * Wp + dx
+                tap = pbuf[:, off: off + rows_acc]
+                a = a + jax.lax.dot_general(
+                    tap, w_ref[dy, dx],
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        a = a + b_ref[:].astype(jnp.float32)[None, None, :]
+        for r in range(H):
+            out_ref[:, r] = a[:, r * Wp: r * Wp + W].astype(dtype)
+
+    grid = (B // tile_b,)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_b, H, W, C), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((3, 3, C, Cout), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((Cout,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((tile_b, H, W, Cout),
+                               lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, S, C), dtype),               # padded flat
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=123 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, w.astype(dtype), jnp.asarray(b, jnp.float32))
+    return out

@@ -248,6 +248,50 @@ def main():
             print(f"full-EOT probe failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
+    # --- optional: DiffWave training throughput (BENCH_TRAIN=1) --------
+    # off by default: the step is a separate multi-minute remote compile
+    # and the headline metric must never hinge on it
+    if os.environ.get("BENCH_TRAIN", "0") == "1":
+        try:
+            import optax
+
+            from audiopure_tpu.diffusion.schedule import make_schedule
+            from audiopure_tpu.kernels.wavenet_stack_train import \
+                wavenet_forward_pallas_train
+            from audiopure_tpu.training.diffwave import (init_train_state,
+                                                         make_train_step)
+
+            TB = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
+            sched = make_schedule(200, 1e-4, 0.02)
+            opt = optax.adam(2e-4)
+            tfn = (lambda p, xx, tt: wavenet_forward_pallas_train(
+                p, xx, tt, dtype=jnp.bfloat16).astype(jnp.float32)) \
+                if CONV == "pallas" else \
+                (lambda p, xx, tt: net.apply(p, xx, tt).astype(
+                    jnp.float32))
+            step_fn = jax.jit(make_train_step(tfn, sched, opt),
+                              donate_argnums=0)
+            tstate = init_train_state(
+                jax.tree_util.tree_map(jnp.copy, wparams), opt,
+                jax.random.PRNGKey(31))
+            x_tr = x[:TB].astype(jnp.float32)
+            tstate, l0 = step_fn(tstate, x_tr)
+            float(l0)
+            steps = 20
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                tstate, l0 = step_fn(tstate, x_tr)
+            float(l0)
+            sps = steps / (time.perf_counter() - t0)
+            step_tflop = 3 * 0.604 * TB * x_tr.shape[-1] / 16000
+            record["train_steps_per_sec"] = round(sps, 2)
+            record["train_mfu_pct"] = round(
+                100 * step_tflop * sps / 197.0, 1)
+            record["train_batch"] = TB
+        except Exception as e:  # pragma: no cover - keep the headline
+            print(f"train probe failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     print(json.dumps(record))
 
 

@@ -1,0 +1,57 @@
+"""Fused NHWC 3x3 conv kernel (kernels/unet_conv): parity with
+lax.conv_general_dilated SAME padding, interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiopure_tpu.kernels.unet_conv import conv3x3_pallas
+
+
+def _xla_conv(x, w, b):
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out + b[None, None, None, :]
+
+
+@pytest.mark.parametrize("shape,cout,tile_b", [
+    ((5, 32, 32, 16), 24, 1),   # non-square channels, odd batch
+    ((4, 16, 16, 8), 8, 2),     # mid resolution
+    ((2, 8, 8, 8), 16, 2),      # small
+    ((6, 4, 4, 8), 8, 3),       # tiniest UNet level
+])
+def test_conv3x3_matches_xla(shape, cout, tile_b):
+    kx, kw, kb = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(kx, shape)
+    w = jax.random.normal(kw, (3, 3, shape[-1], cout)) * 0.2
+    b = jax.random.normal(kb, (cout,)) * 0.1
+    want = np.asarray(_xla_conv(x, w, b))
+    got = np.asarray(conv3x3_pallas(x, w, b, tile_b=tile_b,
+                                    interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_conv3x3_auto_tile_and_dtype():
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 8))
+    w = jax.random.normal(jax.random.PRNGKey(2), (3, 3, 8, 8)) * 0.2
+    want = np.asarray(_xla_conv(x, w, jnp.zeros((8,))))
+    got = np.asarray(conv3x3_pallas(x, w, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # bf16 path stays at bf16-rounding distance
+    got16 = np.asarray(conv3x3_pallas(
+        x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        interpret=True)).astype(np.float32)
+    assert np.abs(got16 - want).max() < 0.12 * np.abs(want).max()
+
+
+def test_auto_interpret_guard_recognizes_axon():
+    """Same repo convention as unet_attention: the 'axon' TPU platform
+    must count as real hardware in the auto-interpret default."""
+    import inspect
+
+    import audiopure_tpu.kernels.unet_conv as uc
+
+    src = inspect.getsource(uc.conv3x3_pallas)
+    assert '"axon"' in src and '"tpu"' in src
