@@ -101,3 +101,43 @@ def conv3x3_pallas(x, w, b=None, *, tile_b: int = 0,
         interpret=interpret,
     )(x, w.astype(dtype), jnp.asarray(b, jnp.float32))
     return out
+
+
+def _xla_conv3x3(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@jax.custom_vjp
+def conv3x3(x, w, b):
+    """Differentiable fused conv3x3: pallas forward, explicit
+    conv-transpose backward (convs are linear — no recompute)."""
+    return conv3x3_pallas(x, w, b)
+
+
+def _c3_fwd(x, w, b):
+    return conv3x3_pallas(x, w, b), (x, w)
+
+
+def _c3_bwd(res, g):
+    x, w = res
+    g = g.astype(x.dtype)
+    # dx: correlate the cotangent with the spatially-flipped,
+    # in/out-transposed filter (SAME padding is self-transpose at 3x3)
+    dx = _xla_conv3x3(g, jnp.flip(w, (0, 1)).swapaxes(2, 3))
+    # dw[dy,dx,ci,co] = sum_{b,i,j} x_pad[b,i+dy,j+dx,ci] g[b,i,j,co]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    H, W = x.shape[1], x.shape[2]
+    dw = jnp.stack([
+        jnp.stack([
+            jnp.einsum("bhwc,bhwo->co",
+                       xp[:, dy: dy + H, dxx: dxx + W, :], g,
+                       preferred_element_type=jnp.float32)
+            for dxx in range(3)], axis=0)
+        for dy in range(3)], axis=0).astype(w.dtype)
+    db = g.astype(jnp.float32).sum(axis=(0, 1, 2))
+    return dx, dw, db
+
+
+conv3x3.defvjp(_c3_fwd, _c3_bwd)

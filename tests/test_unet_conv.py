@@ -55,3 +55,22 @@ def test_auto_interpret_guard_recognizes_axon():
 
     src = inspect.getsource(uc.conv3x3_pallas)
     assert '"axon"' in src and '"tpu"' in src
+
+
+def test_conv3x3_gradients_match_autodiff():
+    """custom-VJP grads (explicit conv-transpose) vs XLA autodiff."""
+    from audiopure_tpu.kernels.unet_conv import conv3x3
+
+    kx, kw, kb, kc = jax.random.split(jax.random.PRNGKey(5), 4)
+    x = jax.random.normal(kx, (3, 8, 8, 8))
+    w = jax.random.normal(kw, (3, 3, 8, 16)) * 0.2
+    b = jax.random.normal(kb, (16,)) * 0.1
+    ct = jax.random.normal(kc, (3, 8, 8, 16))
+
+    ref = jax.grad(lambda *a: (_xla_conv(*a) * ct).sum(),
+                   argnums=(0, 1, 2))(x, w, b)
+    got = jax.grad(lambda *a: (conv3x3(*a) * ct).sum(),
+                   argnums=(0, 1, 2))(x, w, b)
+    for r, g, name in zip(ref, got, ("dx", "dw", "db")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
