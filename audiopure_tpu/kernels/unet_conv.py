@@ -141,3 +141,27 @@ def _c3_bwd(res, g):
 
 
 conv3x3.defvjp(_c3_fwd, _c3_bwd)
+
+
+import flax.linen as nn
+
+
+class PallasConv3x3(nn.Module):
+    """Drop-in for ``nn.Conv(features, (3, 3), padding=1)`` routing
+    through the fused kernel — IDENTICAL param tree (kernel (3,3,Ci,Co)
+    lecun-normal + bias zeros, f32 params, ``dtype`` compute), so
+    checkpoints interchange freely with the XLA conv path."""
+
+    features: int
+    kernel_init: object = nn.initializers.lecun_normal()
+    bias_init: object = nn.initializers.zeros
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        k = self.param("kernel", self.kernel_init,
+                       (3, 3, C, self.features))
+        b = self.param("bias", self.bias_init, (self.features,))
+        dt = self.dtype or x.dtype
+        return conv3x3(x.astype(dt), k.astype(dt), b.astype(jnp.float32))

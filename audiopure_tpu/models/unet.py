@@ -52,6 +52,21 @@ def _group_norm(x, dtype=None, name=None):
                         name=name)(x)
 
 
+def _conv3x3_mod(features, dtype, conv_impl, name, zeros=False):
+    """3x3 SAME conv module: XLA ``nn.Conv`` or the fused pallas kernel
+    (``kernels/unet_conv.PallasConv3x3`` — identical param tree, so
+    checkpoints and the two impls interchange freely)."""
+    if conv_impl == "pallas":
+        from audiopure_tpu.kernels.unet_conv import PallasConv3x3
+        kw = dict(kernel_init=nn.initializers.zeros,
+                  bias_init=nn.initializers.zeros) if zeros else {}
+        return PallasConv3x3(features, dtype=dtype, name=name, **kw)
+    kw = dict(kernel_init=nn.initializers.zeros,
+              bias_init=nn.initializers.zeros) if zeros else {}
+    return nn.Conv(features, (3, 3), padding=1, dtype=dtype, name=name,
+                   **kw)
+
+
 class ResBlock(nn.Module):
     """GroupNorm-SiLU-conv residual block with (scale, shift) timestep
     conditioning (ref ``unet.py:107-196``)."""
@@ -60,13 +75,14 @@ class ResBlock(nn.Module):
     dropout: float = 0.0
     use_scale_shift_norm: bool = True
     dtype: Any = jnp.float32
+    conv_impl: str = "xla"  # see _conv3x3_mod
 
     @nn.compact
     def __call__(self, x, emb, train: bool = False):
         in_ch = x.shape[-1]
         h = nn.silu(_group_norm(x, self.dtype))
-        h = nn.Conv(self.out_channels, (3, 3), padding=1,
-                    dtype=self.dtype, name="in_conv")(h)
+        h = _conv3x3_mod(self.out_channels, self.dtype, self.conv_impl,
+                         "in_conv")(h)
 
         emb_out = nn.Dense(
             2 * self.out_channels if self.use_scale_shift_norm
@@ -82,10 +98,8 @@ class ResBlock(nn.Module):
             h = h + emb_out
             h = nn.silu(_group_norm(h, self.dtype))
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1,
-                    kernel_init=nn.initializers.zeros,
-                    bias_init=nn.initializers.zeros,
-                    dtype=self.dtype, name="out_conv")(h)
+        h = _conv3x3_mod(self.out_channels, self.dtype, self.conv_impl,
+                         "out_conv", zeros=True)(h)
 
         if in_ch == self.out_channels:
             skip = x
@@ -142,6 +156,7 @@ class UNetModel(nn.Module):
     use_scale_shift_norm: bool = True
     dtype: Any = jnp.float32
     attn_impl: str = "xla"  # see AttentionBlock
+    conv_impl: str = "xla"  # see _conv3x3_mod (stride-2 stays nn.Conv)
 
     @nn.compact
     def __call__(self, x, timesteps, y=None, train: bool = False):
@@ -161,14 +176,15 @@ class UNetModel(nn.Module):
                                  dtype=self.dtype, name="label_emb")(y)
 
         # -- encoder ---------------------------------------------------------
-        h = nn.Conv(self.model_channels, (3, 3), padding=1,
-                    dtype=self.dtype, name="in_conv")(h)
+        h = _conv3x3_mod(self.model_channels, self.dtype,
+                         self.conv_impl, "in_conv")(h)
         skips = [h]
         ds = 1
         for level, mult in enumerate(self.channel_mult):
             for i in range(self.num_res_blocks):
                 h = ResBlock(mult * self.model_channels, self.dropout,
                              self.use_scale_shift_norm, self.dtype,
+                             conv_impl=self.conv_impl,
                              name=f"down_{level}_{i}")(h, emb, train)
                 if ds in self.attention_resolutions:
                     h = AttentionBlock(self.num_heads, self.dtype,
@@ -188,11 +204,13 @@ class UNetModel(nn.Module):
         # -- middle ------------------------------------------------------------
         ch = h.shape[-1]
         h = ResBlock(ch, self.dropout, self.use_scale_shift_norm,
-                     self.dtype, name="mid_res1")(h, emb, train)
+                     self.dtype, conv_impl=self.conv_impl,
+                     name="mid_res1")(h, emb, train)
         h = AttentionBlock(self.num_heads, self.dtype,
                            attn_impl=self.attn_impl, name="mid_attn")(h)
         h = ResBlock(ch, self.dropout, self.use_scale_shift_norm,
-                     self.dtype, name="mid_res2")(h, emb, train)
+                     self.dtype, conv_impl=self.conv_impl,
+                     name="mid_res2")(h, emb, train)
 
         # -- decoder -------------------------------------------------------------
         for level, mult in reversed(list(enumerate(self.channel_mult))):
@@ -200,6 +218,7 @@ class UNetModel(nn.Module):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
                 h = ResBlock(mult * self.model_channels, self.dropout,
                              self.use_scale_shift_norm, self.dtype,
+                             conv_impl=self.conv_impl,
                              name=f"up_{level}_{i}")(h, emb, train)
                 if ds in self.attention_resolutions:
                     h = AttentionBlock(heads_up, self.dtype,
@@ -214,15 +233,13 @@ class UNetModel(nn.Module):
                                          (B, H, 2, W, 2, C)).reshape(
                         B, 2 * H, 2 * W, C)
                     if self.conv_resample:
-                        h = nn.Conv(C, (3, 3), padding=1, dtype=self.dtype,
-                                    name=f"upsample_{level}")(h)
+                        h = _conv3x3_mod(C, self.dtype, self.conv_impl,
+                                         f"upsample_{level}")(h)
                     ds //= 2
 
         h = nn.silu(_group_norm(h, self.dtype))
-        h = nn.Conv(self.out_channels, (3, 3), padding=1,
-                    kernel_init=nn.initializers.zeros,
-                    bias_init=nn.initializers.zeros,
-                    dtype=self.dtype, name="out_conv")(h)
+        h = _conv3x3_mod(self.out_channels, self.dtype, self.conv_impl,
+                         "out_conv", zeros=True)(h)
         return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)  # NCHW
 
 
@@ -270,7 +287,8 @@ def create_unet(image_size: int = 32, num_channels: int = 128,
                 num_heads: int = 4, num_heads_upsample: int = -1,
                 use_scale_shift_norm: bool = True, dropout: float = 0.3,
                 in_channels: int = 1, dtype=jnp.float32,
-                attn_impl: str = "xla") -> UNetModel:
+                attn_impl: str = "xla",
+                conv_impl: str = "xla") -> UNetModel:
     """Mirror of ``script_util.create_model`` (``:87-126``).
 
     ``in_channels=1`` is the audio repo's mel configuration; the image
@@ -292,6 +310,7 @@ def create_unet(image_size: int = 32, num_channels: int = 128,
         use_scale_shift_norm=use_scale_shift_norm,
         dtype=dtype,
         attn_impl=attn_impl,
+        conv_impl=conv_impl,
     )
 
 

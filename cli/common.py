@@ -60,6 +60,11 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                    help="WaveNet conv path; 'pallas' = fused VMEM-resident "
                         "residual-block kernel (custom-VJP recompute "
                         "backward when --grad_mode full)")
+    d.add_argument("--unet_conv", type=str, default="xla",
+                   choices=["xla", "pallas"],
+                   help="DiffSpec UNet 3x3 conv path; 'pallas' = fused "
+                        "flat-tap kernel (kernels/unet_conv.py), same "
+                        "param tree")
 
     v = parser.add_argument_group("device/saving")
     v.add_argument("--batch_size", type=int, default=10)
@@ -261,8 +266,11 @@ def build_defender(args, audio_length: int = 16000):
         # UNet attention stays on the XLA einsum path pending a valid
         # on-chip A/B of the fused pallas kernel (the first A/B timed
         # interpret mode — docs/BENCH.md round 3e/3k); library option:
-        # create_unet(attn_impl='pallas').
-        net = create_unet(dtype=spec_dtype)
+        # create_unet(attn_impl='pallas'). 3x3 convs route through the
+        # fused pallas conv (--unet_conv pallas) once the round-3n A/B
+        # justifies a default flip; both impls share one param tree.
+        net = create_unet(dtype=spec_dtype,
+                          conv_impl=getattr(args, "unet_conv", "xla"))
         if args.ddpm_path:
             params, _ = ckpt_lib.load_model(args.ddpm_path)
         else:

@@ -74,3 +74,36 @@ def test_conv3x3_gradients_match_autodiff():
     for r, g, name in zip(ref, got, ("dx", "dw", "db")):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_unet_conv_impl_pallas_matches_xla():
+    """create_unet(conv_impl='pallas') shares the exact param tree with
+    the XLA model and matches its forward and gradient in interpret
+    mode (tiny config)."""
+    import flax
+
+    from audiopure_tpu.models.unet import create_unet
+
+    kw = dict(num_channels=16, num_res_blocks=1, dropout=0.0)
+    net_x = create_unet(**kw)
+    net_p = create_unet(conv_impl="pallas", **kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 32, 32)) * 0.5
+    t = jnp.full((2,), 10.0)
+    v = flax.core.unfreeze(jax.jit(net_x.init)(jax.random.PRNGKey(1), x,
+                                               t))
+    # zero-init output conv makes the probe vacuous — randomize it
+    v["params"]["out_conv"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(2),
+        v["params"]["out_conv"]["kernel"].shape) * 0.05
+    # identical param trees
+    vp = jax.jit(net_p.init)(jax.random.PRNGKey(1), x, t)
+    tx = jax.tree_util.tree_structure(v)
+    tp = jax.tree_util.tree_structure(flax.core.unfreeze(vp))
+    assert tx == tp
+    a = np.asarray(net_x.apply(v, x, t))
+    b = np.asarray(net_p.apply(v, x, t))
+    np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-5)
+    ga = jax.grad(lambda xx: (net_x.apply(v, xx, t) ** 2).sum())(x)
+    gb = jax.grad(lambda xx: (net_p.apply(v, xx, t) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                               rtol=2e-4, atol=2e-4)
