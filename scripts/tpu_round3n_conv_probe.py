@@ -94,6 +94,57 @@ def main():
                 print(json.dumps({"probe": name,
                                   "error": str(e)[:200]}), flush=True)
 
+    # model-level: UNet forward with conv_impl pallas vs xla (bf16),
+    # the round-3e attention A/B shape
+    import flax
+
+    from audiopure_tpu.models.unet import create_unet
+
+    UNET_GF = 15.73
+    unet_x = create_unet(dtype=jnp.bfloat16)
+    unet_p = create_unet(dtype=jnp.bfloat16, conv_impl="pallas")
+    uvars = jax.jit(unet_x.init)(jax.random.PRNGKey(4),
+                                 jnp.zeros((1, 1, 32, 32)),
+                                 jnp.zeros((1,)))
+    uvars = flax.core.unfreeze(uvars)
+    uvars["params"]["out_conv"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(12),
+        uvars["params"]["out_conv"]["kernel"].shape) * 0.05
+
+    for Bu in (64, 256):
+        for label, net in (("xla", unet_x), ("pallas", unet_p)):
+            name = f"unet_fwd_conv_{label}_b{Bu}"
+            try:
+                s0 = jax.random.normal(jax.random.PRNGKey(5),
+                                       (Bu, 1, 32, 32))
+                tt = jnp.full((Bu,), 10.0)
+                t = chained(lambda ss: net.apply(uvars, ss, tt).astype(
+                    jnp.float32), s0, n=16)
+                tf = UNET_GF * Bu / (t * 1e3)
+                r = dict(ms_per_fwd_batch=round(t * 1e3, 2), batch=Bu,
+                         conv=label, tflops=round(tf, 1),
+                         pct_bf16_peak=round(100 * tf / 197.0, 1))
+                results[name] = r
+                print(json.dumps({"probe": name, **r}), flush=True)
+            except Exception as e:
+                import traceback
+                traceback.print_exc()
+                print(json.dumps({"probe": name,
+                                  "error": str(e)[:200]}), flush=True)
+
+    # UNet-level numerics on shared params (bf16)
+    s8 = jax.random.normal(jax.random.PRNGKey(6), (8, 1, 32, 32))
+    t8 = jnp.full((8,), 10.0)
+    ax = jnp.asarray(jax.jit(lambda s: unet_x.apply(uvars, s, t8))(s8),
+                     jnp.float32)
+    ap = jnp.asarray(jax.jit(lambda s: unet_p.apply(uvars, s, t8))(s8),
+                     jnp.float32)
+    results["unet_conv_numerics"] = dict(
+        max_abs_diff=float(jnp.abs(ax - ap).max()),
+        out_scale=float(jnp.abs(ax).max()))
+    print(json.dumps({"probe": "unet_conv_numerics",
+                      **results["unet_conv_numerics"]}), flush=True)
+
     # numerics spot-check on-chip (bf16)
     B, H, W, C = 8, 32, 32, 128
     x = (jax.random.normal(jax.random.PRNGKey(3), (B, H, W, C)) * 0.5
