@@ -38,6 +38,10 @@ def main(argv=None):
     parser.add_argument("--resume_checkpoint", default="")
     parser.add_argument("--max_steps", type=int, default=None)
     parser.add_argument("--model_channels", type=int, default=128)
+    parser.add_argument("--unet_conv", default="xla",
+                        choices=["xla", "pallas"],
+                        help="3x3 conv impl (kernels/unet_conv.py); "
+                             "same param tree either way")
     parser.add_argument("--num_res_blocks", type=int, default=3)
     parser.add_argument("--dropout", type=float, default=0.3)
     parser.add_argument("--seed", type=int, default=0)
@@ -65,7 +69,7 @@ def main(argv=None):
 
     net = create_unet(num_channels=args.model_channels,
                       num_res_blocks=args.num_res_blocks,
-                      dropout=args.dropout)
+                      dropout=args.dropout, conv_impl=args.unet_conv)
     diffusion = create_gaussian_diffusion(
         steps=args.diffusion_steps, noise_schedule=args.noise_schedule)
 
