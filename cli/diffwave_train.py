@@ -159,11 +159,12 @@ def main(argv=None):
                 from audiopure_tpu.kernels.wavenet_block_grad import \
                     wavenet_forward_pallas_grad as fwd
             w = cfg.wavenet
+            kdtype = jnp.bfloat16 if args.bf16 else jnp.float32
             apply_fn = lambda p, xx, tt: fwd(
                 p, xx, tt, num_res_layers=w.num_res_layers,
                 dilation_cycle=w.dilation_cycle,
                 embed_dim_in=w.diffusion_step_embed_dim_in,
-                dtype=jnp.bfloat16).astype(jnp.float32)
+                dtype=kdtype).astype(jnp.float32)
     train_step = jax.jit(
         make_train_step(apply_fn, schedule, optimizer,
                         microbatch=args.microbatch),
