@@ -37,6 +37,11 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int,
     return emb
 
 
+def _gn_groups(c: int) -> int:
+    return 32 if c % 32 == 0 else max(
+        g for g in range(1, min(32, c) + 1) if c % g == 0)
+
+
 def _group_norm(x, dtype=None, name=None):
     # reference uses GroupNorm32 (32 groups, f32); for tiny test configs
     # fall back to the largest divisor of the channel count <= 32.
@@ -45,18 +50,48 @@ def _group_norm(x, dtype=None, name=None):
     # promote a bf16 input to an f32 output, silently doubling the
     # bandwidth of every downstream SiLU/elementwise op under bf16
     # compute — so the model passes its compute dtype through.
-    c = x.shape[-1]
-    groups = 32 if c % 32 == 0 else max(
-        g for g in range(1, min(32, c) + 1) if c % g == 0)
-    return nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=dtype,
-                        name=name)(x)
+    return nn.GroupNorm(num_groups=_gn_groups(x.shape[-1]), epsilon=1e-5,
+                        dtype=dtype, name=name)(x)
+
+
+class _GNParams(nn.Module):
+    """Parameter-only stand-in for ``nn.GroupNorm`` (same scale/bias
+    leaves) so the fused GN+conv kernel path keeps the IDENTICAL param
+    tree — instantiate with the auto-name the XLA path would get
+    (``GroupNorm_0``/``GroupNorm_1``)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones,
+                           (self.features,)),
+                self.param("bias", nn.initializers.zeros,
+                           (self.features,)))
+
+
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Conv(features, (3, 3))``."""
+
+    features: int
+    in_features: int
+    zeros: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kinit = nn.initializers.zeros if self.zeros \
+            else nn.initializers.lecun_normal()
+        return (self.param("kernel", kinit,
+                           (3, 3, self.in_features, self.features)),
+                self.param("bias", nn.initializers.zeros,
+                           (self.features,)))
 
 
 def _conv3x3_mod(features, dtype, conv_impl, name, zeros=False):
     """3x3 SAME conv module: XLA ``nn.Conv`` or the fused pallas kernel
     (``kernels/unet_conv.PallasConv3x3`` — identical param tree, so
     checkpoints and the two impls interchange freely)."""
-    if conv_impl == "pallas":
+    if conv_impl in ("pallas", "pallas_fused"):
         from audiopure_tpu.kernels.unet_conv import PallasConv3x3
         kw = dict(kernel_init=nn.initializers.zeros,
                   bias_init=nn.initializers.zeros) if zeros else {}
@@ -80,26 +115,69 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb, train: bool = False):
         in_ch = x.shape[-1]
-        h = nn.silu(_group_norm(x, self.dtype))
-        h = _conv3x3_mod(self.out_channels, self.dtype, self.conv_impl,
-                         "in_conv")(h)
+        fused = self.conv_impl == "pallas_fused"
+        if fused:
+            from audiopure_tpu.kernels.unet_conv import conv3x3_gn
+
+            dt = self.dtype
+            gs0, gb0 = _GNParams(in_ch, name="GroupNorm_0")()
+            k_in, b_in = _ConvParams(self.out_channels, in_ch,
+                                     name="in_conv")()
+            zB = jnp.zeros((x.shape[0], in_ch), dt)
+            h = conv3x3_gn(x.astype(dt), k_in.astype(dt), b_in, gs0,
+                           gb0, zB, zB, _gn_groups(in_ch), True)
+        else:
+            h = nn.silu(_group_norm(x, self.dtype))
+            h = _conv3x3_mod(self.out_channels, self.dtype,
+                             self.conv_impl, "in_conv")(h)
 
         emb_out = nn.Dense(
             2 * self.out_channels if self.use_scale_shift_norm
             else self.out_channels,
             dtype=self.dtype, name="emb_proj")(nn.silu(emb))
-        emb_out = emb_out[:, None, None, :]
 
-        if self.use_scale_shift_norm:
-            scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = _group_norm(h, self.dtype) * (1 + scale) + shift
-            h = nn.silu(h)
+        if fused:
+            # second conv's GN->(scale,shift)->SiLU prologue fuses too;
+            # the train-time dropout between SiLU and conv forces the
+            # unfused order (reference semantics), so fall back there
+            from audiopure_tpu.kernels.unet_conv import (_gn_ref,
+                                                         conv3x3,
+                                                         conv3x3_gn)
+
+            out_ch = self.out_channels
+            gs1, gb1 = _GNParams(out_ch, name="GroupNorm_1")()
+            k_out, b_out = _ConvParams(out_ch, out_ch, zeros=True,
+                                       name="out_conv")()
+            zO = jnp.zeros((x.shape[0], out_ch), dt)
+            if self.use_scale_shift_norm:
+                scale, shift = jnp.split(emb_out, 2, axis=-1)
+            else:
+                h = h + emb_out[:, None, None, :].astype(h.dtype)
+                scale, shift = zO, zO
+            if train and self.dropout > 0:
+                y = _gn_ref(h, gs1, gb1, _gn_groups(out_ch))
+                y = y * (1.0 + scale.astype(jnp.float32)[:, None, None,
+                                                         :]) \
+                    + shift.astype(jnp.float32)[:, None, None, :]
+                y = nn.silu(y).astype(dt)
+                y = nn.Dropout(self.dropout, deterministic=False)(y)
+                h = conv3x3(y, k_out.astype(dt), b_out)
+            else:
+                h = conv3x3_gn(h, k_out.astype(dt), b_out, gs1, gb1,
+                               scale.astype(dt), shift.astype(dt),
+                               _gn_groups(out_ch), True)
         else:
-            h = h + emb_out
-            h = nn.silu(_group_norm(h, self.dtype))
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = _conv3x3_mod(self.out_channels, self.dtype, self.conv_impl,
-                         "out_conv", zeros=True)(h)
+            emb_out = emb_out[:, None, None, :]
+            if self.use_scale_shift_norm:
+                scale, shift = jnp.split(emb_out, 2, axis=-1)
+                h = _group_norm(h, self.dtype) * (1 + scale) + shift
+                h = nn.silu(h)
+            else:
+                h = h + emb_out
+                h = nn.silu(_group_norm(h, self.dtype))
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            h = _conv3x3_mod(self.out_channels, self.dtype,
+                             self.conv_impl, "out_conv", zeros=True)(h)
 
         if in_ch == self.out_channels:
             skip = x

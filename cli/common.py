@@ -61,7 +61,7 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         "residual-block kernel (custom-VJP recompute "
                         "backward when --grad_mode full)")
     d.add_argument("--unet_conv", type=str, default="xla",
-                   choices=["xla", "pallas"],
+                   choices=["xla", "pallas", "pallas_fused"],
                    help="DiffSpec UNet 3x3 conv path; 'pallas' = fused "
                         "flat-tap kernel (kernels/unet_conv.py), same "
                         "param tree")

@@ -39,7 +39,7 @@ def main(argv=None):
     parser.add_argument("--max_steps", type=int, default=None)
     parser.add_argument("--model_channels", type=int, default=128)
     parser.add_argument("--unet_conv", default="xla",
-                        choices=["xla", "pallas"],
+                        choices=["xla", "pallas", "pallas_fused"],
                         help="3x3 conv impl (kernels/unet_conv.py); "
                              "same param tree either way")
     parser.add_argument("--num_res_blocks", type=int, default=3)

@@ -103,6 +103,7 @@ def main():
     UNET_GF = 15.73
     unet_x = create_unet(dtype=jnp.bfloat16)
     unet_p = create_unet(dtype=jnp.bfloat16, conv_impl="pallas")
+    unet_f = create_unet(dtype=jnp.bfloat16, conv_impl="pallas_fused")
     uvars = jax.jit(unet_x.init)(jax.random.PRNGKey(4),
                                  jnp.zeros((1, 1, 32, 32)),
                                  jnp.zeros((1,)))
@@ -112,7 +113,8 @@ def main():
         uvars["params"]["out_conv"]["kernel"].shape) * 0.05
 
     for Bu in (64, 256):
-        for label, net in (("xla", unet_x), ("pallas", unet_p)):
+        for label, net in (("xla", unet_x), ("pallas", unet_p),
+                           ("fused", unet_f)):
             name = f"unet_fwd_conv_{label}_b{Bu}"
             try:
                 s0 = jax.random.normal(jax.random.PRNGKey(5),
@@ -139,8 +141,11 @@ def main():
                      jnp.float32)
     ap = jnp.asarray(jax.jit(lambda s: unet_p.apply(uvars, s, t8))(s8),
                      jnp.float32)
+    af = jnp.asarray(jax.jit(lambda s: unet_f.apply(uvars, s, t8))(s8),
+                     jnp.float32)
     results["unet_conv_numerics"] = dict(
         max_abs_diff=float(jnp.abs(ax - ap).max()),
+        max_abs_diff_fused=float(jnp.abs(ax - af).max()),
         out_scale=float(jnp.abs(ax).max()))
     print(json.dumps({"probe": "unet_conv_numerics",
                       **results["unet_conv_numerics"]}), flush=True)
