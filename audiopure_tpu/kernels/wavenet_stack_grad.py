@@ -36,7 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from audiopure_tpu.kernels.wavenet_block import _halo
+from audiopure_tpu.kernels.wavenet_block import (_halo, v5_vmem_est_mb,
+                                                 v5x_vmem_est_mb)
 
 SQRT_HALF = math.sqrt(0.5)
 
@@ -568,6 +569,46 @@ def _fsig_bwd(dilation_cycle, chunk_l, interpret, hbm_io, dh_hbm, res,
 fused_stack_input_grad.defvjp(_fsig_fwd, _fsig_bwd)
 
 
+def fullgrad_dispatch_band(L: int, itemsize: int, *, c_res: int = 256,
+                           skip_ch: int = 256, cyc: int = 12,
+                           interpret: bool = False):
+    """The grad_mode='full' dispatch decision, shared by the dispatcher
+    and its regression test (tests/test_stack_grad.py pins the bands so
+    estimate drift can't silently change dispatch).
+
+    Returns ``(mode, chunk)`` with mode in {'resident', 'hbm_io',
+    'dh_hbm', 'per-layer'}; chunk is the backward length-chunk for the
+    hbm variants (None otherwise)."""
+    # v5_vmem_est_mb is calibrated at C=Cs=256; scale by channel ratio
+    # so non-256 configs dispatch on their real footprint
+    ch_scale = (c_res + skip_ch) / 512.0
+    if interpret or v5_vmem_est_mb(L, itemsize) * ch_scale + 2.0 \
+            <= 121.0:
+        return "resident", None
+    # long audio: the hbm_io variants (v5x-style in/out DMA for the
+    # save_h forward; staged g_skip + DMA'd dx for the backward) before
+    # surrendering to the per-layer VJP; the backward's (rows, 2C)
+    # dh-resident buffer wants the smaller 1000-chunk
+    for ch in (1000, 800, 500):
+        if L % ch == 0 and gradstack_bwd_vmem_est_mb(
+                L, itemsize, C=c_res, skip_ch=skip_ch, cyc=cyc,
+                chunk_l=ch) <= 118.0 and \
+                v5x_vmem_est_mb(L, itemsize, C=c_res, skip_ch=skip_ch,
+                                cyc=cyc, chunk_l=ch) + 3.0 <= 118.0:
+            return "hbm_io", ch
+    # longer still: evict the backward's dh resident to HBM (dh_hbm);
+    # the forward stays the hbm_io save_h, so the binding constraint
+    # becomes its xa/xb+skip resident (~L<=37000 bf16)
+    for ch in (2000, 1600, 1000, 800, 500):
+        if L % ch == 0 and gradstack_bwd_dhhbm_vmem_est_mb(
+                L, itemsize, C=c_res, skip_ch=skip_ch, cyc=cyc,
+                chunk_l=ch) <= 118.0 and \
+                v5x_vmem_est_mb(L, itemsize, C=c_res, skip_ch=skip_ch,
+                                cyc=cyc, chunk_l=ch) + 3.0 <= 118.0:
+            return "dh_hbm", ch
+    return "per-layer", None
+
+
 def wavenet_forward_pallas_input_grad(params, audio, diffusion_steps, *,
                                       num_res_layers: int = 36,
                                       dilation_cycle: int = 12,
@@ -591,58 +632,17 @@ def wavenet_forward_pallas_input_grad(params, audio, diffusion_steps, *,
     #   L <= ~37000  hbm_io + dh_hbm (backward dh evicted to HBM);
     #                the binding buffer is now the forward's xa/xb+skip
     #   beyond       per-layer VJP (tiles L, ~1.8x slower)
-    from audiopure_tpu.kernels.wavenet_block import (v5_vmem_est_mb,
-                                                     v5x_vmem_est_mb)
-
     L_in = audio.shape[-1]
     itemsize = jnp.dtype(dtype).itemsize
     blk0 = params["params"]["res_block_0"]
     c_res = blk0["res_conv"]["kernel"].shape[-2]
     skip_ch = blk0["skip_conv"]["kernel"].shape[-1]
-    hbm_io = False
-    dh_hbm = False
-    chunk_override = None
-    # v5_vmem_est_mb is calibrated at C=Cs=256; scale by channel ratio
-    # so non-256 configs dispatch on their real footprint
-    ch_scale = (c_res + skip_ch) / 512.0
-    too_big = (not interpret) and \
-        v5_vmem_est_mb(L_in, itemsize) * ch_scale + 2.0 > 121.0
-    if too_big:
-        # long audio: try the hbm_io variants (v5x-style in/out DMA for
-        # the save_h forward; staged g_skip + DMA'd dx for the backward)
-        # before surrendering to the per-layer VJP; the backward's
-        # (rows, 2C) dh-resident buffer wants the smaller 1000-chunk
-        for ch in (1000, 800, 500):
-            if L_in % ch == 0 and \
-                    gradstack_bwd_vmem_est_mb(
-                        L_in, itemsize, C=c_res, skip_ch=skip_ch,
-                        cyc=dilation_cycle,
-                        chunk_l=ch) <= 118.0 and \
-                    v5x_vmem_est_mb(L_in, itemsize, C=c_res,
-                                    skip_ch=skip_ch, cyc=dilation_cycle,
-                                    chunk_l=ch) + 3.0 <= 118.0:
-                hbm_io = True
-                chunk_override = ch
-                too_big = False
-                break
-    if too_big:
-        # longer still: evict the backward's dh resident to HBM
-        # (dh_hbm); the forward stays the hbm_io save_h, so the binding
-        # constraint becomes its xa/xb+skip resident (~L<=40000 bf16)
-        for ch in (2000, 1600, 1000, 800, 500):
-            if L_in % ch == 0 and \
-                    gradstack_bwd_dhhbm_vmem_est_mb(
-                        L_in, itemsize, C=c_res, skip_ch=skip_ch,
-                        cyc=dilation_cycle,
-                        chunk_l=ch) <= 118.0 and \
-                    v5x_vmem_est_mb(L_in, itemsize, C=c_res,
-                                    skip_ch=skip_ch, cyc=dilation_cycle,
-                                    chunk_l=ch) + 3.0 <= 118.0:
-                hbm_io = True
-                dh_hbm = True
-                chunk_override = ch
-                too_big = False
-                break
+    mode, chunk_override = fullgrad_dispatch_band(
+        L_in, itemsize, c_res=c_res, skip_ch=skip_ch,
+        cyc=dilation_cycle, interpret=interpret)
+    hbm_io = mode in ("hbm_io", "dh_hbm")
+    dh_hbm = mode == "dh_hbm"
+    too_big = mode == "per-layer"
     if num_res_layers % dilation_cycle != 0 or too_big:
         from audiopure_tpu.kernels.wavenet_block_grad import \
             wavenet_forward_pallas_grad

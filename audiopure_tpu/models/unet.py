@@ -91,13 +91,11 @@ def _conv3x3_mod(features, dtype, conv_impl, name, zeros=False):
     """3x3 SAME conv module: XLA ``nn.Conv`` or the fused pallas kernel
     (``kernels/unet_conv.PallasConv3x3`` — identical param tree, so
     checkpoints and the two impls interchange freely)."""
-    if conv_impl in ("pallas", "pallas_fused"):
-        from audiopure_tpu.kernels.unet_conv import PallasConv3x3
-        kw = dict(kernel_init=nn.initializers.zeros,
-                  bias_init=nn.initializers.zeros) if zeros else {}
-        return PallasConv3x3(features, dtype=dtype, name=name, **kw)
     kw = dict(kernel_init=nn.initializers.zeros,
               bias_init=nn.initializers.zeros) if zeros else {}
+    if conv_impl in ("pallas", "pallas_fused"):
+        from audiopure_tpu.kernels.unet_conv import PallasConv3x3
+        return PallasConv3x3(features, dtype=dtype, name=name, **kw)
     return nn.Conv(features, (3, 3), padding=1, dtype=dtype, name=name,
                    **kw)
 

@@ -114,7 +114,6 @@ def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
                 lambda p: diffusion_training_loss(apply_fn, p, x0, sub,
                                                   schedule))(state.params)
         else:
-            assert B % microbatch == 0, (B, microbatch)
             xm = x0.reshape(n_micro, microbatch, *x0.shape[1:])
             keys = jax.random.split(sub, n_micro)
 

@@ -265,7 +265,7 @@ def main():
             sched = make_schedule(200, 1e-4, 0.02)
             opt = optax.adam(2e-4)
             tfn = (lambda p, xx, tt: wavenet_forward_pallas_train(
-                p, xx, tt, dtype=jnp.bfloat16).astype(jnp.float32)) \
+                p, xx, tt, dtype=compute_dtype).astype(jnp.float32)) \
                 if CONV == "pallas" else \
                 (lambda p, xx, tt: net.apply(p, xx, tt).astype(
                     jnp.float32))
@@ -285,8 +285,11 @@ def main():
             sps = steps / (time.perf_counter() - t0)
             step_tflop = 3 * 0.604 * TB * x_tr.shape[-1] / 16000
             record["train_steps_per_sec"] = round(sps, 2)
-            record["train_mfu_pct"] = round(
-                100 * step_tflop * sps / 197.0, 1)
+            if DTYPE == "bf16":
+                # the MFU denominator is the bf16 MXU peak; f32 runs
+                # report raw steps/s only
+                record["train_mfu_pct"] = round(
+                    100 * step_tflop * sps / 197.0, 1)
             record["train_batch"] = TB
         except Exception as e:  # pragma: no cover - keep the headline
             print(f"train probe failed: {type(e).__name__}: {e}",

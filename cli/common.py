@@ -269,8 +269,13 @@ def build_defender(args, audio_length: int = 16000):
         # create_unet(attn_impl='pallas'). 3x3 convs route through the
         # fused pallas conv (--unet_conv pallas) once the round-3n A/B
         # justifies a default flip; both impls share one param tree.
-        net = create_unet(dtype=spec_dtype,
-                          conv_impl=getattr(args, "unet_conv", "xla"))
+        unet_conv = getattr(args, "unet_conv", "xla")
+        if unet_conv != "xla" and jax.default_backend() not in (
+                "tpu", "axon"):
+            print(f"WARNING: --unet_conv {unet_conv} needs a TPU "
+                  "backend; using xla")
+            unet_conv = "xla"
+        net = create_unet(dtype=spec_dtype, conv_impl=unet_conv)
         if args.ddpm_path:
             params, _ = ckpt_lib.load_model(args.ddpm_path)
         else:

@@ -30,12 +30,16 @@ def main():
     print(f"devices: {jax.devices()}", flush=True)
 
     from audiopure_tpu.kernels.unet_conv import conv3x3_pallas
+    from audiopure_tpu.utils.jit_utils import hoisted_jit
 
     PEAK = 197.0
     results = {}
 
     def chained(fn, x0, n=32):
-        @jax.jit
+        # hoisted_jit per CLAUDE.md: the model arms close over full
+        # param trees (plain jit would inline ~100+ MB of literals
+        # through the remote-compile tunnel)
+        @hoisted_jit
         def run(x):
             def body(c, _):
                 y = fn(c)
@@ -137,12 +141,12 @@ def main():
     # UNet-level numerics on shared params (bf16)
     s8 = jax.random.normal(jax.random.PRNGKey(6), (8, 1, 32, 32))
     t8 = jnp.full((8,), 10.0)
-    ax = jnp.asarray(jax.jit(lambda s: unet_x.apply(uvars, s, t8))(s8),
-                     jnp.float32)
-    ap = jnp.asarray(jax.jit(lambda s: unet_p.apply(uvars, s, t8))(s8),
-                     jnp.float32)
-    af = jnp.asarray(jax.jit(lambda s: unet_f.apply(uvars, s, t8))(s8),
-                     jnp.float32)
+    ax = jnp.asarray(hoisted_jit(lambda s: unet_x.apply(uvars, s, t8))(
+        s8), jnp.float32)
+    ap = jnp.asarray(hoisted_jit(lambda s: unet_p.apply(uvars, s, t8))(
+        s8), jnp.float32)
+    af = jnp.asarray(hoisted_jit(lambda s: unet_f.apply(uvars, s, t8))(
+        s8), jnp.float32)
     results["unet_conv_numerics"] = dict(
         max_abs_diff=float(jnp.abs(ax - ap).max()),
         max_abs_diff_fused=float(jnp.abs(ax - af).max()),

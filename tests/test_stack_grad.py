@@ -221,31 +221,19 @@ def test_fullgrad_dispatch_bands():
     """Pin the grad_mode='full' dispatch decisions at the flagship
     256/256 config, bf16: resident v5 at 16000, hbm_io at 24000, dh_hbm
     at 32000, per-layer fallback at 40000 (the save_h forward's
-    xa/xb+skip resident binds there). Guards against estimate drift."""
-    from audiopure_tpu.kernels.wavenet_block import (v5_vmem_est_mb,
-                                                     v5x_vmem_est_mb)
-    from audiopure_tpu.kernels.wavenet_stack_grad import (
-        gradstack_bwd_dhhbm_vmem_est_mb, gradstack_bwd_vmem_est_mb)
+    xa/xb+skip resident binds there). Uses the PRODUCTION band helper,
+    so estimate drift fails here."""
+    from audiopure_tpu.kernels.wavenet_stack_grad import \
+        fullgrad_dispatch_band
 
-    def band(L, itemsize=2):
-        if v5_vmem_est_mb(L, itemsize) + 2.0 <= 121.0:
-            return "resident"
-        for ch in (1000, 800, 500):
-            if L % ch == 0 and gradstack_bwd_vmem_est_mb(
-                    L, itemsize, chunk_l=ch) <= 118.0 and \
-                    v5x_vmem_est_mb(L, itemsize, chunk_l=ch) + 3.0 \
-                    <= 118.0:
-                return "hbm_io"
-        for ch in (2000, 1600, 1000, 800, 500):
-            if L % ch == 0 and gradstack_bwd_dhhbm_vmem_est_mb(
-                    L, itemsize, chunk_l=ch) <= 118.0 and \
-                    v5x_vmem_est_mb(L, itemsize, chunk_l=ch) + 3.0 \
-                    <= 118.0:
-                return "dh_hbm"
-        return "per-layer"
+    def band(L):
+        return fullgrad_dispatch_band(L, 2)[0]
 
     assert band(16000) == "resident"
     assert band(24000) == "hbm_io"
     assert band(32000) == "dh_hbm"
     assert band(36000) == "dh_hbm"
     assert band(40000) == "per-layer"
+    # interpret mode always runs the resident path
+    assert fullgrad_dispatch_band(40000, 2, interpret=True)[0] \
+        == "resident"
