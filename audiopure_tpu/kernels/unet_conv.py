@@ -125,7 +125,8 @@ def _c3_bwd(res, g):
     g = g.astype(x.dtype)
     # dx: correlate the cotangent with the spatially-flipped,
     # in/out-transposed filter (SAME padding is self-transpose at 3x3)
-    dx = _xla_conv3x3(g, jnp.flip(w, (0, 1)).swapaxes(2, 3))
+    # — itself a 3x3 conv, so it rides the same pallas kernel
+    dx = conv3x3_pallas(g, jnp.flip(w, (0, 1)).swapaxes(2, 3))
     # dw[dy,dx,ci,co] = sum_{b,i,j} x_pad[b,i+dy,j+dx,ci] g[b,i,j,co]
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     H, W = x.shape[1], x.shape[2]
