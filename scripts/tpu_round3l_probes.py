@@ -82,8 +82,15 @@ def main():
     GF_PER_L = 0.906 / 24000.0        # TFLOP per utt fwd per sample
     net = WaveNet(dtype=jnp.bfloat16)
     netf32 = WaveNet(dtype=jnp.float32)
-    wparams = net.init(jax.random.PRNGKey(2),
-                       jnp.zeros((1, 1, 16000)), jnp.zeros((1, 1)))
+    import flax
+    wparams = flax.core.unfreeze(net.init(
+        jax.random.PRNGKey(2), jnp.zeros((1, 1, 16000)),
+        jnp.zeros((1, 1))))
+    # final_conv2 is zero-init (reference ZeroConv1d): randomize it so
+    # the gradient numerics compare real signals, not zeros (r3d lesson)
+    wparams["params"]["final_conv2"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(12),
+        wparams["params"]["final_conv2"]["kernel"].shape) * 0.05
 
     def band(L):
         # mirror the dispatcher's decision for the log
