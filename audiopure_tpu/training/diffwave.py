@@ -79,6 +79,41 @@ def _uses_input_grad_kernel(fn, depth: int = 3, seen=None) -> bool:
     return False
 
 
+def _loss_and_grads(apply_fn: Callable, schedule: DiffusionSchedule,
+                    params, x0: jnp.ndarray, key: jax.Array,
+                    microbatch: int = -1):
+    """value_and_grad of the diffusion MSE, optionally accumulated over
+    ``batch/microbatch`` sequential slices (each slice draws its own
+    (t, z) — same uniform-t estimator at finer sampling granularity)."""
+    B = x0.shape[0]
+    if microbatch <= 0 or microbatch == B:
+        n_micro = 1
+    else:
+        assert B % microbatch == 0, (B, microbatch)
+        n_micro = B // microbatch
+    if n_micro <= 1:
+        return jax.value_and_grad(
+            lambda p: diffusion_training_loss(apply_fn, p, x0, key,
+                                              schedule))(params)
+    xm = x0.reshape(n_micro, microbatch, *x0.shape[1:])
+    keys = jax.random.split(key, n_micro)
+
+    def micro(carry, inp):
+        gsum, lsum = carry
+        xi, ki = inp
+        li, gi = jax.value_and_grad(
+            lambda p: diffusion_training_loss(
+                apply_fn, p, xi, ki, schedule))(params)
+        gsum = jax.tree_util.tree_map(jnp.add, gsum, gi)
+        return (gsum, lsum + li), None
+
+    zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+    (gsum, lsum), _ = jax.lax.scan(
+        micro, (zero, jnp.asarray(0.0)), (xm, keys))
+    grads = jax.tree_util.tree_map(lambda g: g / n_micro, gsum)
+    return lsum / n_micro, grads
+
+
 def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
                     optimizer: optax.GradientTransformation,
                     microbatch: int = -1):
@@ -103,34 +138,8 @@ def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
     def train_step(state: TrainState, x0: jnp.ndarray
                    ) -> Tuple[TrainState, jnp.ndarray]:
         key, sub = jax.random.split(state.key)
-        B = x0.shape[0]
-        if microbatch <= 0 or microbatch == B:
-            n_micro = 1
-        else:
-            assert B % microbatch == 0, (B, microbatch)
-            n_micro = B // microbatch
-        if n_micro <= 1:
-            loss, grads = jax.value_and_grad(
-                lambda p: diffusion_training_loss(apply_fn, p, x0, sub,
-                                                  schedule))(state.params)
-        else:
-            xm = x0.reshape(n_micro, microbatch, *x0.shape[1:])
-            keys = jax.random.split(sub, n_micro)
-
-            def micro(carry, inp):
-                gsum, lsum = carry
-                xi, ki = inp
-                li, gi = jax.value_and_grad(
-                    lambda p: diffusion_training_loss(
-                        apply_fn, p, xi, ki, schedule))(state.params)
-                gsum = jax.tree_util.tree_map(jnp.add, gsum, gi)
-                return (gsum, lsum + li), None
-
-            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (gsum, lsum), _ = jax.lax.scan(
-                micro, (zero, jnp.asarray(0.0)), (xm, keys))
-            grads = jax.tree_util.tree_map(lambda g: g / n_micro, gsum)
-            loss = lsum / n_micro
+        loss, grads = _loss_and_grads(apply_fn, schedule, state.params,
+                                      x0, sub, microbatch)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)

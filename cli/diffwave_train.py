@@ -165,11 +165,23 @@ def main(argv=None):
                 dilation_cycle=w.dilation_cycle,
                 embed_dim_in=w.diffusion_step_embed_dim_in,
                 dtype=kdtype).astype(jnp.float32)
-    train_step = jax.jit(
-        make_train_step(apply_fn, schedule, optimizer,
-                        microbatch=args.microbatch),
-        in_shardings=(state_sharding, batch_sharding(mesh)),
-        out_shardings=(state_sharding, rep))
+    if apply_fn is not net.apply and mesh.shape["dp"] > 1:
+        # fused-kernel forward on a dp mesh: the SPMD partitioner treats
+        # the Mosaic custom call as opaque and may gather the batch —
+        # shard_map pins each device to its local shard (one explicit
+        # gradient pmean; parallel/dp_kernel.py)
+        from audiopure_tpu.parallel import make_dp_train_step
+        state_sharding = jax.tree_util.tree_map(lambda _: rep,
+                                                state_sharding)
+        train_step = jax.jit(
+            make_dp_train_step(apply_fn, schedule, optimizer, mesh,
+                               microbatch=args.microbatch))
+    else:
+        train_step = jax.jit(
+            make_train_step(apply_fn, schedule, optimizer,
+                            microbatch=args.microbatch),
+            in_shardings=(state_sharding, batch_sharding(mesh)),
+            out_shardings=(state_sharding, rep))
     state = jax.device_put(state, state_sharding)
 
     data_iter = infinite(loader)
