@@ -80,3 +80,37 @@ class EOT:
         mean_grad = grads.mean(axis=0) if use_grad else None
         decisions = jnp.argmax(scores, axis=-1)    # (R, B)
         return mean_scores, mean_loss, mean_grad, decisions
+
+    def paired(self, x: jnp.ndarray, y: jnp.ndarray, key_def: jax.Array,
+               key_atk: jax.Array):
+        """Both reference EOT stacks of one PGD iteration — the
+        independent prediction stack and the independent gradient stack
+        (``white_box_attack.py:386-435``) — as ONE ``2R``-replica vmap.
+
+        Estimator-identical to calling the defense stack and the attack
+        stack separately with the same keys (test-pinned): per-replica
+        loss weights are 0 for the R defense replicas and 1 for the R
+        attack replicas, so the defense half contributes exact zeros to
+        the summed gradient while its scores feed the prediction mean.
+        One dispatch schedules the expensive purify forwards at 2R
+        replicas; the price is that the (cheap, stop-grad-eps-net)
+        backward also runs over the defense half with zero cotangents.
+        Returns ``(mean_scores_def, mean_grad_atk)``.
+        """
+        R = self.eot_size
+        keys = jnp.concatenate([jax.random.split(key_def, R),
+                                jax.random.split(key_atk, R)])
+        w = jnp.concatenate([jnp.zeros((R,)), jnp.ones((R,))])
+
+        def one(k, wi):
+            def weighted(xx):
+                scores = self.model_fn(xx, k)
+                return (wi * self.loss_fn(scores, y)).sum(), scores
+            (_, scores), g = jax.value_and_grad(
+                weighted, has_aux=True)(x)
+            return scores, g
+
+        scores, grads = jax.vmap(one)(keys, w)
+        mean_scores_def = scores[:R].mean(axis=0)
+        mean_grad_atk = grads.sum(axis=0) / R   # defense half: exact 0
+        return mean_scores_def, mean_grad_atk

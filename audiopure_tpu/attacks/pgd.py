@@ -85,6 +85,7 @@ class AudioAttack:
         stage2_kwargs: Optional[dict] = None,
         predict_model_fn: Optional[Callable] = None,
         share_eot: bool = False,
+        pair_fused: bool = False,
     ):
         self.model_fn = model_fn
         self.loss_fn = loss_fn
@@ -124,6 +125,23 @@ class AudioAttack:
             raise ValueError(
                 "share_eot requires eot_attack_size == eot_defense_size "
                 f"(got {eot_attack_size} vs {eot_defense_size})")
+        # pair_fused: EXACT reference pairing (two independent EOT
+        # stacks per iteration) scheduled as one 2R-replica dispatch
+        # (``EOT.paired``) — estimator-identical to the default two-pass
+        # body given the same keys (test-pinned), different compute
+        # schedule only. Orthogonal to share_eot (which halves the
+        # purifications and is the documented deviation).
+        self.pair_fused = bool(pair_fused)
+        if self.pair_fused:
+            if self.share_eot:
+                raise ValueError("pair_fused is the exact-pairing "
+                                 "schedule; share_eot already removes "
+                                 "the second stack")
+            if eot_attack_size != eot_defense_size:
+                raise ValueError(
+                    "pair_fused requires eot_attack_size == "
+                    f"eot_defense_size (got {eot_attack_size} vs "
+                    f"{eot_defense_size})")
         self._stage1_cache = {}
 
     # ------------------------------------------------------------------
@@ -161,13 +179,18 @@ class AudioAttack:
                 scores, _, grad, _ = self.eot_attack(
                     x_pert, y, k_atk, use_grad=True)
                 pred = jnp.argmax(scores, axis=-1)
+            elif self.pair_fused:
+                # exact pairing, one fused 2R-replica dispatch
+                scores, grad = self.eot_attack.paired(
+                    x_pert, y, k_def, k_atk)
+                pred = jnp.argmax(scores, axis=-1)
             else:
                 pred = self._predict(x_pert, y, k_def)
             hit = hit_mask(pred)
             x_adv = jnp.where(hit[:, None, None], x_pert, x_adv)
             success = jnp.logical_or(success, hit)
 
-            if not self.share_eot:
+            if not (self.share_eot or self.pair_fused):
                 _, _, grad, _ = self.eot_attack(x_pert, y, k_atk,
                                                 use_grad=True)
             if self.norm == "linf":

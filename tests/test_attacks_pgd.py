@@ -196,3 +196,30 @@ def test_share_eot_requires_equal_sizes():
     with pytest.raises(ValueError):
         AudioAttack(linear_model, eot_attack_size=4, eot_defense_size=2,
                     share_eot=True)
+
+
+def test_pair_fused_matches_two_pass_exactly():
+    """pair_fused is the exact-pairing estimator on a different compute
+    schedule: with the same key it must reproduce the default two-pass
+    trajectory on a STOCHASTIC system (same key split -> same draws ->
+    same predictions and gradient means)."""
+    x = jnp.ones((3, 1, 64)) * 0.001
+    y = jnp.zeros(3, dtype=jnp.int32)
+    kw = dict(eps=0.01, norm="linf", max_iter_1=12, eot_attack_size=4,
+              eot_defense_size=4)
+    a = AudioAttack(noisy_model, **kw)
+    b = AudioAttack(noisy_model, pair_fused=True, **kw)
+    xa, (sa, _) = a.generate(x, y, jax.random.PRNGKey(5))
+    xb, (sb, _) = b.generate(x, y, jax.random.PRNGKey(5))
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+
+
+def test_pair_fused_option_validation():
+    import pytest
+    with pytest.raises(ValueError):
+        AudioAttack(linear_model, eot_attack_size=4, eot_defense_size=2,
+                    pair_fused=True)
+    with pytest.raises(ValueError):
+        AudioAttack(linear_model, eot_attack_size=4, eot_defense_size=4,
+                    pair_fused=True, share_eot=True)
