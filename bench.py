@@ -248,6 +248,50 @@ def main():
             print(f"full-EOT probe failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
+    # --- exact reference pairing (two independent EOT stacks/iter) -----
+    # the honest-headline configuration (white_box_attack.py:386-435):
+    # no share_eot deviation. BENCH_EOT_PAIRED_MODE picks the schedule
+    # (two_pass | fused, see EOT.paired); default set by the round-4a A/B.
+    if FULL_EOT_PROBE and os.environ.get("BENCH_EOT_PAIRED", "1") == "1":
+        try:
+            from audiopure_tpu.attacks import AudioAttack
+
+            mode = os.environ.get("BENCH_EOT_PAIRED_MODE", "two_pass")
+            model_fn = lambda xx, kk: system(xx, key=kk)
+            E = FULL_EOT_SIZE
+            atkp = AudioAttack(model_fn, eps=0.002, norm="linf",
+                               max_iter_1=FULL_EOT_ITERS,
+                               learning_rate_1=0.002 / 5,
+                               eot_attack_size=E, eot_defense_size=E,
+                               eot_chunk=FULL_EOT_CHUNK,
+                               pair_fused=(mode == "fused"))
+            xa = x[:FULL_EOT_BATCH]
+            ya = jnp.zeros((FULL_EOT_BATCH,), dtype=jnp.int32)
+            out = atkp.generate(xa, ya, jax.random.PRNGKey(29))
+            float(jnp.abs(out[0] - xa).max())    # airtight barrier
+            times = []
+            for rep in range(2):
+                t0 = time.perf_counter()
+                out = atkp.generate(xa, ya, jax.random.PRNGKey(30 + rep))
+                dmax = float(jnp.abs(out[0] - xa).max())
+                times.append(time.perf_counter() - t0)
+                if not (dmax > 0 or bool(out[1][0].all())):
+                    raise RuntimeError("paired-EOT probe did not move "
+                                       "input")
+            ms_utt_iter = min(times) * 1e3 / (FULL_EOT_BATCH
+                                              * FULL_EOT_ITERS)
+            record["eot15_paired_ms_per_utt_iter"] = round(ms_utt_iter, 1)
+            record["eot15_paired_ms_per_utt_iter_replica"] = round(
+                ms_utt_iter / E, 2)
+            record["eot15_paired_vs_baseline"] = round(
+                A100_REFERENCE_EOT_MS / (ms_utt_iter / E), 3)
+            record["eot15_paired_config"] = {
+                "eot": E, "chunk": FULL_EOT_CHUNK, "mode": mode,
+                "batch": FULL_EOT_BATCH}
+        except Exception as e:  # pragma: no cover - keep the headline
+            print(f"paired-EOT probe failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     # --- optional: DiffWave training throughput (BENCH_TRAIN=1) --------
     # off by default: the step is a separate multi-minute remote compile
     # and the headline metric must never hinge on it

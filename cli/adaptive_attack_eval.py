@@ -56,6 +56,12 @@ def add_attack_args(parser):
                         "for the prediction bookkeeping (same point, "
                         "same replica count; ~2x fewer purifications "
                         "per PGD iteration; needs equal EOT sizes)")
+    a.add_argument("--pair_fused", action="store_true",
+                   help="exact reference pairing (independent defense + "
+                        "attack EOT stacks) scheduled as one 2R-replica "
+                        "dispatch per iteration (EOT.paired); "
+                        "estimator-identical to the default two-pass "
+                        "body, needs equal EOT sizes")
     a.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler device trace of the first "
                         "attacked batch (view in TensorBoard/XProf)")
@@ -78,7 +84,8 @@ def build_attacker(args, model_fn, predict_model_fn=None):
                 ref_quirks=getattr(args, "masker_ref_quirks", False))
             if args.max_iter_2 > 0 else None,
             predict_model_fn=predict_model_fn,
-            share_eot=getattr(args, "share_eot", False))
+            share_eot=getattr(args, "share_eot", False),
+            pair_fused=getattr(args, "pair_fused", False))
         print(f"attack: PGD with {args.bound_norm}_eps={args.eps} & "
               f"iter={args.max_iter_1} & "
               f"eot={args.eot_attack_size}-{args.eot_defense_size}\n")
