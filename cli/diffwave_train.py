@@ -45,13 +45,17 @@ def main(argv=None):
                              "parametrization, WaveNet.py:28)")
     parser.add_argument("--dp", type=int, default=-1)
     parser.add_argument("--tp", type=int, default=1)
-    parser.add_argument("--conv_impl", default="xla",
-                        choices=["xla", "pallas", "pallas_stack"],
+    parser.add_argument("--conv_impl", default="auto",
+                        choices=["auto", "xla", "pallas", "pallas_stack"],
                         help="'pallas' trains through the per-layer fused "
                              "kernel's custom VJP; 'pallas_stack' through "
                              "the whole-net layer-resident training VJP "
                              "(both dp-only: need --tp 1, no "
-                             "--weight_norm, a TPU backend)")
+                             "--weight_norm, a TPU backend). 'auto' = "
+                             "pallas_stack when eligible under --bf16 "
+                             "(measured 65.1-65.6%% MFU at b8-b16 vs "
+                             "XLA's 53.0%% at b8, docs/BENCH.md round "
+                             "4), else xla")
     parser.add_argument("--microbatch", type=int, default=-1,
                         help="gradient-accumulation slice size inside "
                              "the jitted step (bounds activation/stream "
@@ -145,6 +149,11 @@ def main(argv=None):
         opt_state=jax.tree_util.tree_map(lambda _: rep, state.opt_state),
         key=rep)
     apply_fn = net.apply
+    if args.conv_impl == "auto":
+        eligible = (args.tp == 1 and not args.weight_norm and args.bf16
+                    and jax.default_backend() in ("tpu", "axon"))
+        args.conv_impl = "pallas_stack" if eligible else "xla"
+        print(f"conv_impl auto -> {args.conv_impl}")
     if args.conv_impl in ("pallas", "pallas_stack"):
         unsupported = (args.tp != 1 or args.weight_norm
                        or jax.default_backend() not in ("tpu", "axon"))
