@@ -19,8 +19,32 @@ if "xla_force_host_platform_device_count" not in _flags:
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full", action="store_true", default=False,
+        help="run the heavy tier too (full-scale parity/config sweeps/"
+             "multi-CLI integration); default runs the fast tier only",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (VERDICT r3 #8): every component keeps smoke
+    coverage in the fast tier; full-scale goldens, config sweeps and
+    redundant-scale integration runs are the ``heavy`` tier, selected
+    with ``--full`` (CI / pre-round gate) so the warm fast tier stays a
+    per-commit gate (<5 min on this 1-core host)."""
+    if config.getoption("--full"):
+        return
+    skip_heavy = pytest.mark.skip(
+        reason="heavy tier: run with --full")
+    for item in items:
+        if "heavy" in item.keywords:
+            item.add_marker(skip_heavy)
 
 # persistent compilation cache: the convnet-zoo tests compile a dozen large
 # graphs; cache them across runs so the suite stays fast after first run

@@ -2,6 +2,7 @@
 (analytic optimum; SURVEY.md §4 (c))."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -16,6 +17,7 @@ def linear_model(x, key):
     return jnp.stack([s, -s], axis=1)
 
 
+@pytest.mark.heavy
 def test_nes_estimates_true_gradient():
     """For CE on the linear toy the true grad wrt x is constant; NES with
     many draws should align with it (cosine similarity ~ 1)."""

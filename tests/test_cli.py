@@ -154,6 +154,7 @@ def test_certified_eval_cli(data_root, clf_ckpt, tmp_path):
     assert len(out2["records"]) == 10
 
 
+@pytest.mark.heavy
 def test_test_cli_multicrop_and_csv(data_root, tmp_path):
     """Multi-crop averaging + kaggle-style CSV output on a mel classifier."""
     from cli.test_speech_commands import main as test_main
@@ -175,6 +176,7 @@ def test_test_cli_multicrop_and_csv(data_root, tmp_path):
     assert len(lines) == 21  # header + 20 files
 
 
+@pytest.mark.heavy
 def test_kws_adaptive_attack_eval_cli(tmp_path):
     """KWS harness on a synthetic Qualcomm tree (Kenansville attack)."""
     from audiopure_tpu.data.datasets import QKWS_CLASSES
@@ -202,6 +204,7 @@ def test_kws_adaptive_attack_eval_cli(tmp_path):
         assert 0.0 <= res[k] <= 1.0
 
 
+@pytest.mark.heavy
 def test_profile_flag_writes_trace(data_root, clf_ckpt, tmp_path):
     from cli.adaptive_attack_eval import main
 
@@ -306,6 +309,7 @@ def test_adaptive_attack_eval_cli_share_eot(data_root, clf_ckpt):
         assert res_paired[k] == res_shared[k], (k, res_paired, res_shared)
 
 
+@pytest.mark.heavy
 def test_diffwave_train_cli_remat_bf16(data_root, tmp_path):
     """--remat --bf16 training path (the on-chip batch-16 recipe)."""
     from cli.diffwave_train import main as dw_main

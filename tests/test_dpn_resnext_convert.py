@@ -1,6 +1,7 @@
 """DPN and ResNeXt checkpoint conversion parity vs torch twins built with
 the reference repos' parameter naming (kuangliu dpn.py, prlz77 resnext)."""
 
+import pytest
 import numpy as np
 import torch
 import torch.nn as thnn
@@ -20,6 +21,7 @@ def _randomize_bn(tnet):
                 m.running_var.uniform_(0.8, 1.2)
 
 
+@pytest.mark.heavy
 def test_dpn_conversion_matches_torch():
     INP, OUTP, DD = (96, 192, 384, 768), (256, 512, 1024, 2048), \
         (16, 32, 24, 128)
@@ -83,6 +85,7 @@ def test_dpn_conversion_matches_torch():
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.heavy
 def test_resnext_conversion_matches_torch():
     CARD, BW, WF = 8, 64, 4
 

@@ -96,6 +96,7 @@ def test_image_train_and_sample_and_nll(image_root, tmp_path):
         os.environ.pop("OPENAI_LOGDIR", None)
 
 
+@pytest.mark.heavy
 def test_super_res_train_and_sample(image_root, tmp_path):
     from cli.super_res_sample import main as sr_sample_main
     from cli.super_res_train import main as sr_train_main

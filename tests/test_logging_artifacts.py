@@ -1,6 +1,7 @@
 """KV logger (Human/JSON/CSV, mean aggregation, profiling) and artifact
 dumps — the reference's observability layer (SURVEY.md §5)."""
 
+import pytest
 import csv
 import json
 import os
@@ -36,6 +37,7 @@ def test_logkv_mean_and_formats(tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "log.txt"))
 
 
+@pytest.mark.heavy
 def test_tensorboard_format(tmp_path):
     lg = logger.configure(str(tmp_path), ["tensorboard"])
     lg.logkv("step", 3)

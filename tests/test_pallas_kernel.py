@@ -28,7 +28,8 @@ def _net_and_params(layers=4, cycle=2):
     return net, params
 
 
-@pytest.mark.parametrize("impl", ["v2", "v3"])
+@pytest.mark.parametrize(
+    "impl", [pytest.param("v2", marks=pytest.mark.heavy), "v3"])
 def test_full_forward_matches_flax(impl):
     net, params = _net_and_params()
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 400)) * 0.3
@@ -40,7 +41,8 @@ def test_full_forward_matches_flax(impl):
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("impl", ["v2", "v3"])
+@pytest.mark.parametrize(
+    "impl", [pytest.param("v2", marks=pytest.mark.heavy), "v3"])
 @pytest.mark.parametrize("dilation", [1, 4, 64, 120])
 def test_block_dilation_edges(dilation, impl):
     """Edge correctness: zero padding (not bias) beyond the signal, for
@@ -160,6 +162,7 @@ def test_full_forward_v5_matches_flax():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.heavy
 def test_full_forward_v5_odd_cycle_matches_flax():
     """Odd dilation_cycle exercises the xb->xa copy-back across cycles."""
     net = WaveNet(res_channels=8, skip_channels=8, num_res_layers=6,
@@ -180,6 +183,7 @@ def test_full_forward_v5_odd_cycle_matches_flax():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.heavy
 def test_full_forward_v4_single_tile_short_audio():
     """L == tile_l: the pair window (tile + 2*halos) exceeds L, so the
     clamped element-offset read would go out of bounds — dispatch must
@@ -195,6 +199,7 @@ def test_full_forward_v4_single_tile_short_audio():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.heavy
 def test_full_forward_v4_tile_upgrade_matches_flax():
     """The (64,128) pair only fits a 2x tile (2*halo(128)=256 > 512//3);
     this config drives the per-pair tile-upgrade path end to end."""
@@ -216,6 +221,7 @@ def test_full_forward_v4_tile_upgrade_matches_flax():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.heavy
 def test_cli_pallas_path_selects_grad_kernel():
     """--conv_impl pallas --grad_mode full must route through a
     custom-VJP wrapper ('ref' keeps the forward-only kernel): the
@@ -307,6 +313,7 @@ def test_wavenet_pallas_grad_matches_xla_autodiff():
                                    rtol=1e-3, err_msg=str(k))
 
 
+@pytest.mark.heavy
 def test_v5_long_audio_falls_back_within_vmem():
     """L beyond the layer-resident VMEM budget must not OOM: the v5 path
     re-dispatches (v5x hbm_io first, v4 past that; measured on-chip v5

@@ -176,6 +176,7 @@ def test_pipeline_parallel_wavenet_matches_unsharded():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.heavy
 def test_collective_stats_dp_vs_tp_volume():
     """Measured collective accounting (VERDICT r2 weak #5): the dp-only
     layout's traffic is ONE gradient all-reduce of ~param size; the
@@ -223,6 +224,7 @@ def test_collective_stats_dp_vs_tp_volume():
     assert s_tp["ops"].get("all-gather", {}).get("count", 0) > 0
 
 
+@pytest.mark.heavy
 def test_tune_tp_layout_prunes_unprofitable_wavenet():
     """The measured greedy tuner replicates every WaveNet group at SC09
     scale (activation gathers dwarf the grad-allreduce savings)."""

@@ -60,13 +60,15 @@ ZOO_CASES = [
     ("vgg19_bn", {}),
     ("resnet18", {}),
     ("wideresnet28_10", {}),
-    ("resnext29_8_64", {}),
-    ("dpn92", {}),
-    ("densenet_bc_100_12", {}),
+    pytest.param("resnext29_8_64", {}, marks=pytest.mark.heavy),
+    pytest.param("dpn92", {}, marks=pytest.mark.heavy),
+    pytest.param("densenet_bc_100_12", {}, marks=pytest.mark.heavy),
 ]
 
 
-@pytest.mark.parametrize("name,extra", ZOO_CASES, ids=[c[0] for c in ZOO_CASES])
+@pytest.mark.parametrize(
+    "name,extra", ZOO_CASES,
+    ids=[c.values[0] if hasattr(c, "values") else c[0] for c in ZOO_CASES])
 def test_classifier_zoo_matches_reference(zoo, name, extra):
     from audiopure_tpu.models import create_classifier
     from audiopure_tpu.utils import torch_convert as tc

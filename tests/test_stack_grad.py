@@ -106,6 +106,7 @@ def test_saved_h_matches_preactivations(setup):
                                np.asarray(want_h), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_hbm_io_grad_path_matches_autodiff(setup):
     """hbm_io=True (long-audio variant: DMA'd input/skip forward, staged
     g_skip + DMA'd dx backward) must match XLA autodiff exactly like the
@@ -180,6 +181,7 @@ def test_dh_hbm_grad_path_matches_autodiff(setup):
                                rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.heavy
 def test_dh_hbm_multi_cycle_matches_autodiff():
     """n_cycles=2 (NL=24, cyc=12): the dh_hbm window DMAs and the dx
     carry must also hold across reversed grid steps."""

@@ -76,6 +76,7 @@ def test_input_and_t_gradients_match_autodiff(setup):
                                rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.heavy
 def test_multi_cycle_param_gradients_match_autodiff():
     """NL=24 with dilation_cycle=12 gives n_cycles=2, exercising every
     reversed-cycle index map (tb/wspec/layer into h_all/x_all and the
@@ -119,6 +120,7 @@ def test_multi_cycle_param_gradients_match_autodiff():
     (10, 5, 16, 200, 200),  # odd cycle, single chunk
     (8, 4, 8, 256, 128),    # even cycle, 2 cycles, non-default chunk
 ])
+@pytest.mark.heavy
 def test_config_sweep_gradients_match_autodiff(nl, cyc, ch, ll, chunk):
     """Direct fused_stack_train calls across odd/even dilation cycles,
     cycle counts and chunkings — full param + input grads vs flax."""
@@ -165,6 +167,7 @@ def test_config_sweep_gradients_match_autodiff(nl, cyc, ch, ll, chunk):
                                rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.heavy
 def test_train_step_dp_mesh_matches_single_device(setup):
     """The pallas_stack train step under an 8-device dp mesh (interpret
     kernels on the CPU mesh, the repo's multi-chip semantic check) must
@@ -210,6 +213,7 @@ def test_train_step_dp_mesh_matches_single_device(setup):
                                    err_msg="/".join(k))
 
 
+@pytest.mark.heavy
 def test_train_step_accepts_kernel_apply_fn(setup):
     """End-to-end: make_train_step with the kernel apply_fn runs one
     optimizer step and moves the loss the same way as the flax path."""

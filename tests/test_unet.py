@@ -2,6 +2,7 @@
 
 import numpy as np
 
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -36,6 +37,7 @@ def test_unet_forward_shape_and_zero_init():
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_unet_learn_sigma_output_channels():
     net = tiny_unet(out_channels=2)
     x = jnp.zeros((1, 1, 32, 32))

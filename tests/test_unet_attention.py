@@ -42,6 +42,7 @@ def test_fused_attention_gradient_matches_reference():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_unet_pallas_attn_matches_xla_model():
     """Whole-model check: attn_impl='pallas' (interpret on CPU) equals
     the 'xla' model on the same params; param trees are identical."""

@@ -76,6 +76,7 @@ def test_conv3x3_gradients_match_autodiff():
                                    rtol=1e-4, atol=1e-5, err_msg=name)
 
 
+@pytest.mark.heavy
 def test_unet_conv_impl_pallas_matches_xla():
     """create_unet(conv_impl='pallas') shares the exact param tree with
     the XLA model and matches its forward and gradient in interpret
@@ -111,8 +112,10 @@ def test_unet_conv_impl_pallas_matches_xla():
 
 @pytest.mark.parametrize("shape,cout,groups,silu,ss", [
     ((3, 16, 16, 16), 24, 4, True, True),
-    ((2, 8, 8, 32), 32, 32, True, False),
-    ((4, 4, 4, 8), 8, 2, False, True),
+    pytest.param((2, 8, 8, 32), 32, 32, True, False,
+                 marks=pytest.mark.heavy),
+    pytest.param((4, 4, 4, 8), 8, 2, False, True,
+                 marks=pytest.mark.heavy),
 ])
 def test_conv3x3_gn_matches_xla_composition(shape, cout, groups, silu,
                                             ss):
@@ -138,6 +141,7 @@ def test_conv3x3_gn_matches_xla_composition(shape, cout, groups, silu,
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.heavy
 def test_conv3x3_gn_gradients_match_autodiff():
     from audiopure_tpu.kernels.unet_conv import _xla_gn_conv, conv3x3_gn
 
@@ -161,6 +165,7 @@ def test_conv3x3_gn_gradients_match_autodiff():
                                    rtol=2e-4, atol=2e-5, err_msg=name)
 
 
+@pytest.mark.heavy
 def test_unet_conv_impl_pallas_fused_matches_xla():
     """conv_impl='pallas_fused' (GN/scale-shift/SiLU folded into the
     conv kernel): identical param tree, matching forward + gradient;

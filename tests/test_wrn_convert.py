@@ -1,6 +1,7 @@
 """WideResNet checkpoint conversion parity vs a spec-faithful torch WRN
 (reference naming, ``wideresnet.py:16-95``)."""
 
+import pytest
 import numpy as np
 import torch
 import torch.nn as thnn
@@ -195,6 +196,7 @@ def test_resnet18_conversion_matches_torch():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.heavy
 def test_densenet_conversion_matches_torch():
     """DenseNet-BC conversion vs a bearpaw-style torch twin (depth 10 ->
     n=1 layer per block)."""
