@@ -226,12 +226,18 @@ class RevSpecDiffusion:
         remat: bool = True,
         rand_t: bool = False,
         t_delta: int = 0,
+        unroll: int = 1,
     ):
         self.N = int(N)
         self.t = int(t)
         from audiopure_tpu.utils.grads import nondifferentiable
 
         self.sample_step = int(sample_step)
+        # lax.scan unroll factor for the reverse-SDE walk: >1 lets XLA
+        # fuse the cheap inter-step elementwise chain into the UNet
+        # steps and amortizes loop overhead (a pure compute-schedule
+        # knob — the step math and key stream are unchanged)
+        self.unroll = int(unroll)
         self.eps_fn = nondifferentiable(eps_fn) if grad_mode == "ref" \
             else eps_fn
         self.beta_0 = float(beta_min)
@@ -382,7 +388,8 @@ class RevSpecDiffusion:
         if self.remat:
             step = jax.checkpoint(step)
         ks = jax.random.split(k_sde, tp_r.shape[0])
-        x0, _ = jax.lax.scan(step, x, (tp_r, hs_r, disc_r, valid_r, ks))
+        x0, _ = jax.lax.scan(step, x, (tp_r, hs_r, disc_r, valid_r, ks),
+                             unroll=self.unroll)
         return x0
 
     def __call__(self, spec: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
