@@ -114,6 +114,34 @@ def test_spec_purifier_rand_t():
         RevSpecDiffusion(eps_fn, rand_t=True, t_delta=0)
 
 
+def test_spec_purifier_unroll_value_and_grad_parity():
+    """``unroll`` is a pure compute-schedule knob (round 4d): same step
+    math and key stream, so values AND input gradients must match
+    unroll=1 to f32-rounding level (XLA may re-associate fusions across
+    the unrolled steps) — including a non-divisor factor."""
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (1, 1, 3, 3)) * 0.1
+
+    def eps_fn(x, t):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+    spec = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 32, 32),
+                              minval=-80.0, maxval=20.0)
+    k = jax.random.PRNGKey(2)
+    base = RevSpecDiffusion(eps_fn, N=1000, t=10)
+    g_base = jax.jit(jax.grad(lambda s: base(s, k).sum()))(spec)
+    for u in (2, 3):
+        pur = RevSpecDiffusion(eps_fn, N=1000, t=10, unroll=u)
+        np.testing.assert_allclose(
+            np.asarray(pur(spec, k)), np.asarray(base(spec, k)),
+            rtol=1e-5, atol=1e-4)
+        g = jax.jit(jax.grad(lambda s: pur(s, k).sum()))(spec)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_base),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_unet_bf16_mode_close_to_f32_and_stays_bf16():
     """bf16 compute mode: GroupNorm results must ride bf16 (an f32-
     promoting norm silently doubles elementwise bandwidth on TPU), and
