@@ -56,15 +56,42 @@ def add_attack_args(parser):
                         "for the prediction bookkeeping (same point, "
                         "same replica count; ~2x fewer purifications "
                         "per PGD iteration; needs equal EOT sizes)")
+    a.add_argument("--pair_mode", type=str, default="auto",
+                   choices=["auto", "two_pass", "fused"],
+                   help="schedule for the exact reference pairing "
+                        "(independent defense + attack EOT stacks per "
+                        "iteration): 'fused' runs both stacks as one "
+                        "2R-replica dispatch (EOT.paired), 'two_pass' "
+                        "sequentially; estimator-identical (same keys "
+                        "reproduce the same trajectory). 'auto' picks "
+                        "by measurement: fused for DiffSpec (the b8 "
+                        "UNet is not batch-saturated, +8%% — BENCH.md "
+                        "round 4d), two_pass for the waveform path "
+                        "(saturated; fused is a null, round 4a). "
+                        "Ignored under --share_eot.")
     a.add_argument("--pair_fused", action="store_true",
-                   help="exact reference pairing (independent defense + "
-                        "attack EOT stacks) scheduled as one 2R-replica "
-                        "dispatch per iteration (EOT.paired); "
-                        "estimator-identical to the default two-pass "
-                        "body, needs equal EOT sizes")
+                   help="deprecated alias for --pair_mode fused")
     a.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler device trace of the first "
                         "attacked batch (view in TensorBoard/XProf)")
+
+
+def _resolve_pair_fused(args) -> bool:
+    """Pick the pairing schedule (see ``--pair_mode``). Measurement-backed
+    defaults: DiffSpec's batch-8 UNet gains ~8% from fusing the two EOT
+    stacks into one 2R-replica dispatch (BENCH.md round 4d); the waveform
+    path is batch-saturated and fusing is a null result (round 4a)."""
+    if getattr(args, "share_eot", False):
+        return False  # share_eot removes the second stack entirely
+    if getattr(args, "pair_fused", False):
+        return True
+    mode = getattr(args, "pair_mode", "auto")
+    if mode == "auto":
+        # pair_fused requires equal EOT sizes (one 2R dispatch)
+        return (getattr(args, "defense", None) == "DiffSpec"
+                and getattr(args, "eot_attack_size", 1)
+                == getattr(args, "eot_defense_size", 1))
+    return mode == "fused"
 
 
 def build_attacker(args, model_fn, predict_model_fn=None):
@@ -85,7 +112,7 @@ def build_attacker(args, model_fn, predict_model_fn=None):
             if args.max_iter_2 > 0 else None,
             predict_model_fn=predict_model_fn,
             share_eot=getattr(args, "share_eot", False),
-            pair_fused=getattr(args, "pair_fused", False))
+            pair_fused=_resolve_pair_fused(args))
         print(f"attack: PGD with {args.bound_norm}_eps={args.eps} & "
               f"iter={args.max_iter_1} & "
               f"eot={args.eot_attack_size}-{args.eot_defense_size}\n")
