@@ -35,7 +35,10 @@ N_TOTAL = int(os.environ.get("FLAGSHIP_N", "16" if SMOKE else "100"))
 ITERS = int(os.environ.get("FLAGSHIP_ITERS", "2" if SMOKE else "70"))
 BATCH = int(os.environ.get("FLAGSHIP_BATCH", "8"))
 EOT = int(os.environ.get("FLAGSHIP_EOT", "2" if SMOKE else "15"))
-PAIR_MODE = os.environ.get("FLAGSHIP_PAIR_MODE", "fused")
+# two_pass: the measured-better schedule for the waveform path (round
+# 4a: fused is a null there — the forward is batch-saturated); matches
+# the eval CLI's --pair_mode auto resolution for --defense Diffusion
+PAIR_MODE = os.environ.get("FLAGSHIP_PAIR_MODE", "two_pass")
 WORK = "/tmp/flagship_smoke" if SMOKE else "/tmp/flagship"
 
 
