@@ -86,6 +86,7 @@ class AudioAttack:
         predict_model_fn: Optional[Callable] = None,
         share_eot: bool = False,
         pair_fused: bool = False,
+        segment_iters: int = 0,
     ):
         self.model_fn = model_fn
         self.loss_fn = loss_fn
@@ -142,6 +143,15 @@ class AudioAttack:
                     "pair_fused requires eot_attack_size == "
                     f"eot_defense_size (got {eot_attack_size} vs "
                     f"{eot_defense_size})")
+        # segment_iters > 0: run stage 1 as ceil(max_iter_1/segment_iters)
+        # compiled segments with the (delta, x_adv, success) carry passed
+        # between dispatches. Trajectory-identical to the monolithic
+        # program (same scan body, same precomputed per-iteration keys;
+        # test-pinned). Motivation: the remote TPU execution runtime
+        # kills single dispatches running over ~60 s ("TPU worker
+        # crashed"), which the reference 70-iteration EOT-15x15 attack
+        # exceeds ~3x; segments also give per-segment progress.
+        self.segment_iters = int(segment_iters)
         self._stage1_cache = {}
 
     # ------------------------------------------------------------------
@@ -153,15 +163,51 @@ class AudioAttack:
         """Whole stage-1 attack as ONE compiled program, with the model's
         parameter trees hoisted to runtime arguments (``hoisted_jit``) —
         without hoisting, the closed-over UNet/classifier weights inline
-        into the program as hundreds of MB of literals."""
-        jitted = self._stage1_cache.get(targeted)
-        if jitted is None:
-            jitted = hoisted_jit(
-                functools.partial(self._stage_1_impl, targeted=targeted))
-            self._stage1_cache[targeted] = jitted
-        return jitted(x, y, key)
+        into the program as hundreds of MB of literals.
 
-    def _stage_1_impl(self, x, y, key, targeted: bool):
+        With ``segment_iters`` set, the iteration scan is split into
+        several dispatches of that length with the carry passed between
+        them — same body, same precomputed keys, bit-identical
+        trajectory (tested) — so no single dispatch exceeds the remote
+        runtime's execution watchdog."""
+        seg = self.segment_iters
+        if seg <= 0 or seg >= self.max_iter_1:
+            jitted = self._stage1_cache.get(("mono", targeted))
+            if jitted is None:
+                jitted = hoisted_jit(functools.partial(
+                    self._stage_1_impl, targeted=targeted))
+                self._stage1_cache[("mono", targeted)] = jitted
+            return jitted(x, y, key)
+
+        # the SAME key split as the monolithic program (inside vs outside
+        # jit is value-identical), sliced per segment
+        keys = jax.random.split(key, self.max_iter_1 + 1)
+        seg_fn = self._stage1_cache.get(("seg", targeted))
+        if seg_fn is None:
+            seg_fn = hoisted_jit(functools.partial(
+                self._segment_impl, targeted=targeted))
+            self._stage1_cache[("seg", targeted)] = seg_fn
+        tail_fn = self._stage1_cache.get(("tail", targeted))
+        if tail_fn is None:
+            tail_fn = hoisted_jit(functools.partial(
+                self._tail_impl, targeted=targeted))
+            self._stage1_cache[("tail", targeted)] = tail_fn
+
+        delta = jnp.zeros_like(x)
+        x_adv = x
+        success = jnp.zeros(x.shape[0], dtype=bool)
+        pos = 0
+        while pos < self.max_iter_1:
+            n = min(seg, self.max_iter_1 - pos)
+            delta, x_adv, success = seg_fn(
+                x, y, keys[pos: pos + n], delta, x_adv, success)
+            pos += n
+        return tail_fn(x, y, keys[-1], delta, x_adv, success)
+
+    def _make_body(self, x, y, targeted: bool):
+        """The per-iteration scan body (one prediction stack + one
+        gradient stack + the delta update), shared by the monolithic and
+        segmented stage-1 programs."""
         sign = -1.0 if targeted else 1.0
 
         def hit_mask(pred):
@@ -203,15 +249,30 @@ class AudioAttack:
             delta = jnp.clip(x + delta, self.clip_min, self.clip_max) - x
             return (delta, x_adv, success), None
 
+        return body, hit_mask
+
+    def _stage_1_impl(self, x, y, key, targeted: bool):
+        body, hit_mask = self._make_body(x, y, targeted)
         delta0 = jnp.zeros_like(x)
         carry0 = (delta0, x, jnp.zeros(x.shape[0], dtype=bool))
         keys = jax.random.split(key, self.max_iter_1 + 1)
         (delta, x_adv, success), _ = jax.lax.scan(
             body, carry0, keys[:-1])
+        return self._tail_impl(x, y, keys[-1], delta, x_adv, success,
+                               targeted=targeted)
 
+    def _segment_impl(self, x, y, keys_seg, delta, x_adv, success,
+                      targeted: bool):
+        body, _ = self._make_body(x, y, targeted)
+        carry, _ = jax.lax.scan(body, (delta, x_adv, success), keys_seg)
+        return carry
+
+    def _tail_impl(self, x, y, key_last, delta, x_adv, success,
+                   targeted: bool):
+        _, hit_mask = self._make_body(x, y, targeted)
         # trailing prediction pass (iteration i == max_iter_1, ref ``:426``)
         x_pert = x + delta
-        pred = self._predict(x_pert, y, keys[-1])
+        pred = self._predict(x_pert, y, key_last)
         hit = hit_mask(pred)
         x_adv = jnp.where(hit[:, None, None], x_pert, x_adv)
         success = jnp.logical_or(success, hit)

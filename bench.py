@@ -69,7 +69,10 @@ FULL_EOT_ITERS = int(os.environ.get("BENCH_FULL_EOT_ITERS", "5"))
 # corresponds to the reference's 70-iteration operating point (the
 # round-4a decomposition shows the raw 5-iter figure carries the
 # trailing pass at 14x its production weight). 0 disables.
-FULL_EOT_ITERS2 = int(os.environ.get("BENCH_FULL_EOT_ITERS2", "25"))
+# 15, not 25: the remote TPU runtime kills single dispatches over
+# ~60 s ("TPU worker crashed", observed twice at paired-25-iter =
+# ~65 s); paired two_pass at 15 iters is ~39 s — safe margin.
+FULL_EOT_ITERS2 = int(os.environ.get("BENCH_FULL_EOT_ITERS2", "15"))
 
 
 def main():

@@ -71,6 +71,14 @@ def add_attack_args(parser):
                         "Ignored under --share_eot.")
     a.add_argument("--pair_fused", action="store_true",
                    help="deprecated alias for --pair_mode fused")
+    a.add_argument("--segment_iters", type=int, default=10,
+                   help="run the PGD scan as dispatches of this many "
+                        "iterations with the carry passed between them "
+                        "(0 = one monolithic program). Trajectory-"
+                        "identical (same keys/body; test-pinned); keeps "
+                        "single dispatches under the remote TPU "
+                        "runtime's ~60 s execution watchdog at the "
+                        "reference 70-iteration config")
     a.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler device trace of the first "
                         "attacked batch (view in TensorBoard/XProf)")
@@ -112,7 +120,8 @@ def build_attacker(args, model_fn, predict_model_fn=None):
             if args.max_iter_2 > 0 else None,
             predict_model_fn=predict_model_fn,
             share_eot=getattr(args, "share_eot", False),
-            pair_fused=_resolve_pair_fused(args))
+            pair_fused=_resolve_pair_fused(args),
+            segment_iters=getattr(args, "segment_iters", 0))
         print(f"attack: PGD with {args.bound_norm}_eps={args.eps} & "
               f"iter={args.max_iter_1} & "
               f"eot={args.eot_attack_size}-{args.eot_defense_size}\n")

@@ -223,3 +223,37 @@ def test_pair_fused_option_validation():
     with pytest.raises(ValueError):
         AudioAttack(linear_model, eot_attack_size=4, eot_defense_size=4,
                     pair_fused=True, share_eot=True)
+
+
+def test_segmented_matches_monolithic_exactly():
+    """segment_iters splits the PGD scan into several dispatches with
+    the carry passed between them; the trajectory must be bit-identical
+    to the monolithic program on a STOCHASTIC system (same key split,
+    same body) for every schedule mode, including a non-dividing
+    segment length (remainder segment)."""
+    x = jnp.ones((3, 1, 64)) * 0.001
+    y = jnp.zeros(3, dtype=jnp.int32)
+    for extra in ({}, {"pair_fused": True}, {"share_eot": True}):
+        kw = dict(eps=0.01, norm="linf", max_iter_1=11,
+                  eot_attack_size=3, eot_defense_size=3, **extra)
+        mono = AudioAttack(noisy_model, **kw)
+        seg = AudioAttack(noisy_model, segment_iters=4, **kw)  # 4+4+3
+        xa, (sa, _) = mono.generate(x, y, jax.random.PRNGKey(7))
+        xb, (sb, _) = seg.generate(x, y, jax.random.PRNGKey(7))
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                   atol=1e-6, err_msg=str(extra))
+        np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+
+
+def test_segment_iters_noop_when_covering():
+    """segment_iters >= max_iter_1 keeps the monolithic single-program
+    path (no behavior or cache-shape change)."""
+    x = jnp.ones((2, 1, 32)) * 0.001
+    y = jnp.zeros(2, dtype=jnp.int32)
+    a = AudioAttack(linear_model, eps=0.01, max_iter_1=5)
+    b = AudioAttack(linear_model, eps=0.01, max_iter_1=5,
+                    segment_iters=9)
+    xa, _ = a.generate(x, y, jax.random.PRNGKey(1))
+    xb, _ = b.generate(x, y, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(xb))
+    assert ("mono", False) in b._stage1_cache
