@@ -71,8 +71,9 @@ def main():
         @hoisted_jit
         def run(params, x0):
             def body(c, _):
+                # wavenet_head returns (B, C_out=1, L) — already the
+                # carry's (B, 1, L) layout
                 y = fn(params, c, t)
-                y = jnp.swapaxes(y, 1, 2)
                 return (y / (jnp.abs(y).max() + 1e-6)).astype(x0.dtype), \
                     None
             out, _ = jax.lax.scan(body, x0, None, length=n)
