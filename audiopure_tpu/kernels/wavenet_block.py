@@ -502,7 +502,7 @@ def fused_residual_pair(
 
 @functools.partial(jax.jit, static_argnames=("dilation_cycle", "chunk_l",
                                              "interpret", "gate_dtype",
-                                             "hbm_io"))
+                                             "hbm_io", "chunk_loop"))
 def fused_residual_stack(
     x: jnp.ndarray,          # (B, L, C) hidden state after init_conv
     t_biases: jnp.ndarray,   # (B, NL, C) per-layer timestep biases
@@ -517,6 +517,7 @@ def fused_residual_stack(
     interpret: bool = False,
     gate_dtype=None,
     hbm_io: bool = False,
+    chunk_loop: bool = False,
 ) -> jnp.ndarray:
     """ALL residual layers in ONE kernel — the (L, C) state never leaves
     VMEM (v5).
@@ -598,15 +599,26 @@ def fused_residual_stack(
             d = 2 ** j
             cur, nxt = (xa, xb) if j % 2 == 0 else (xb, xa)
             bias = tb_ref[0, 0, j].astype(dtype)
-            for s in range(0, L, chunk_l):
+
+            def one_chunk(s, dynamic, cur=cur, nxt=nxt, bias=bias, j=j,
+                          d=d):
+                """One (chunk_l, C) slab of layer j. ``s`` is a python
+                int on the unrolled path, a traced i32 under chunk_loop
+                (``dynamic=True``: pl.ds slices + uniform boundary mask,
+                since validity can't be branched on a tracer)."""
                 taps = []
                 for k in range(3):
                     off = (k - 1) * d
-                    sl = cur[margin + s + off: margin + s + off + chunk_l]
-                    if 0 <= s + off and s + off + chunk_l <= L:
+                    if dynamic:
+                        sl = cur[pl.ds(margin + s + off, chunk_l)]
+                    else:
+                        sl = cur[margin + s + off:
+                                 margin + s + off + chunk_l]
+                    if not dynamic and (0 <= s + off
+                                        and s + off + chunk_l <= L):
                         taps.append(sl + bias)
                     else:
-                        # boundary chunk: margin rows are zero (conv
+                        # boundary rows: margin rows are zero (conv
                         # padding); keep them bias-free
                         row = jax.lax.broadcasted_iota(
                             jnp.int32, (chunk_l, 1), 0)
@@ -634,18 +646,38 @@ def fused_residual_stack(
                     gate = (jnp.tanh(hg[:, :C]) * sig).astype(dtype)
                 res = jnp.dot(gate, wres_ref[j],
                               preferred_element_type=jnp.float32)
-                nxt[margin + s: margin + s + chunk_l] = (
-                    (taps[1].astype(jnp.float32) + res
-                     + bres_ref[0, j].astype(jnp.float32)[None, :])
-                    * SQRT_HALF).astype(dtype)
+                nxt_val = ((taps[1].astype(jnp.float32) + res
+                            + bres_ref[0, j].astype(jnp.float32)[None, :])
+                           * SQRT_HALF).astype(dtype)
                 # skip rides bf16 like the v3/v4 HBM accumulator (each
                 # layer's contribution still f32-accumulated in the dot)
-                skip[s: s + chunk_l] = (
-                    skip[s: s + chunk_l].astype(jnp.float32)
-                    + jnp.dot(gate, wsk_ref[j],
-                              preferred_element_type=jnp.float32)
-                    + bsk_ref[0, j].astype(jnp.float32)[None, :]
-                ).astype(dtype)
+                sk_prev = (skip[pl.ds(s, chunk_l)] if dynamic
+                           else skip[s: s + chunk_l])
+                sk_val = (sk_prev.astype(jnp.float32)
+                          + jnp.dot(gate, wsk_ref[j],
+                                    preferred_element_type=jnp.float32)
+                          + bsk_ref[0, j].astype(jnp.float32)[None, :]
+                          ).astype(dtype)
+                if dynamic:
+                    nxt[pl.ds(margin + s, chunk_l)] = nxt_val
+                    skip[pl.ds(s, chunk_l)] = sk_val
+                else:
+                    nxt[margin + s: margin + s + chunk_l] = nxt_val
+                    skip[s: s + chunk_l] = sk_val
+
+            if chunk_loop:
+                # one compiled body instead of L/chunk_l unrolled copies:
+                # bounds register pressure (the unrolled f32 body spills
+                # ~50 MB of vregs to VMEM and blows the ceiling, round-4h
+                # OOM dump); weights re-read from the VMEM window per
+                # iteration
+                def body(i, carry):
+                    one_chunk(i * chunk_l, dynamic=True)
+                    return carry
+                jax.lax.fori_loop(0, L // chunk_l, body, 0)
+            else:
+                for s in range(0, L, chunk_l):
+                    one_chunk(s, dynamic=False)
         if cyc % 2 == 1:
             # odd cycle length: bring the state back to xa for the next
             # grid step (one VMEM copy per cycle)

@@ -355,6 +355,38 @@ def test_full_forward_v5x_hbm_io_matches_flax():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
 
 
+def test_stack_chunk_loop_bit_matches_unrolled():
+    """chunk_loop=True (lax.fori_loop chunk body: one compiled body +
+    pl.ds dynamic slices + uniform boundary mask, instead of L/chunk_l
+    unrolled copies) is pure codegen — it must be BIT-identical to the
+    unrolled path on both io modes and across chunk sizes.  Built for
+    the f32 VMEM fit: the unrolled f32 body spills ~50 MB of vregs
+    (round-4h OOM dumps, docs/BENCH.md)."""
+    from audiopure_tpu.kernels.wavenet_block import fused_residual_stack
+
+    rng = jax.random.PRNGKey(7)
+    B, L, C, NL, cyc, Cs = 2, 512, 8, 4, 2, 8
+    ks = jax.random.split(rng, 8)
+    args = (jax.random.normal(ks[0], (B, L, C)),
+            jax.random.normal(ks[1], (B, NL, C)) * 0.1,
+            jax.random.normal(ks[2], (NL, 3, C, 2 * C)) * 0.3,
+            jax.random.normal(ks[3], (NL, 2 * C)) * 0.1,
+            jax.random.normal(ks[4], (NL, C, C)) * 0.3,
+            jax.random.normal(ks[5], (NL, C)) * 0.1,
+            jax.random.normal(ks[6], (NL, C, Cs)) * 0.3,
+            jax.random.normal(ks[7], (NL, Cs)) * 0.1)
+    for hbm_io in (False, True):
+        base = fused_residual_stack(*args, dilation_cycle=cyc,
+                                    chunk_l=128, interpret=True,
+                                    hbm_io=hbm_io)
+        for chunk in (64, 128):
+            loop = fused_residual_stack(*args, dilation_cycle=cyc,
+                                        chunk_l=chunk, interpret=True,
+                                        hbm_io=hbm_io, chunk_loop=True)
+            assert float(jnp.abs(base - loop).max()) == 0.0, (hbm_io,
+                                                              chunk)
+
+
 def test_v5x_dispatch_at_kws_bucket_length():
     """The dispatch table: bf16 L=24000 must select v5x (est 103.7 MB
     <= 118), not the v4 fallback; f32 L=24000 stays v4 (est 196.9)."""
