@@ -556,6 +556,11 @@ def fused_residual_stack(
     dtype = x.dtype
     assert NL % dilation_cycle == 0, (NL, dilation_cycle)
     assert L % chunk_l == 0, (L, chunk_l)
+    if chunk_loop:
+        # dynamic slice starts must be provably sublane-aligned (Mosaic
+        # rejects unprovable dynamic offsets); i*chunk_l carries the
+        # pl.multiple_of hint only when chunk_l itself is aligned
+        assert chunk_l % ALIGN == 0, (chunk_l, ALIGN)
     n_cycles = NL // dilation_cycle
     margin = _halo(2 ** (dilation_cycle - 1))
     rows = margin + L + margin
@@ -610,7 +615,20 @@ def fused_residual_stack(
                 for k in range(3):
                     off = (k - 1) * d
                     if dynamic:
-                        sl = cur[pl.ds(margin + s + off, chunk_l)]
+                        if off % ALIGN == 0:
+                            sl = cur[pl.ds(margin + s + off, chunk_l)]
+                        else:
+                            # Mosaic needs dynamic sublane starts provably
+                            # ALIGN-multiple; the +-d taps for d < ALIGN
+                            # aren't. Read one aligned slab (margin and
+                            # floor-aligned off keep the start a multiple
+                            # of ALIGN given the s hint) and realize the
+                            # residual shift as a static in-register slice.
+                            off_al = (off // ALIGN) * ALIGN
+                            r = off - off_al
+                            ext = cur[pl.ds(margin + s + off_al,
+                                            chunk_l + ALIGN)]
+                            sl = ext[r:r + chunk_l]
                     else:
                         sl = cur[margin + s + off:
                                  margin + s + off + chunk_l]
@@ -672,7 +690,8 @@ def fused_residual_stack(
                 # OOM dump); weights re-read from the VMEM window per
                 # iteration
                 def body(i, carry):
-                    one_chunk(i * chunk_l, dynamic=True)
+                    one_chunk(pl.multiple_of(i * chunk_l, ALIGN),
+                              dynamic=True)
                     return carry
                 jax.lax.fori_loop(0, L // chunk_l, body, 0)
             else:

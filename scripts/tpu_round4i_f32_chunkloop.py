@@ -106,7 +106,10 @@ def main():
                     pct_bf16_peak=round(100 * tf / PEAK, 1))
 
     # 1. fit + speed across chunks, b4 (4h control: 22.19 ms, 55.3%)
-    for chunk in (1000, 2000, 4000):
+    # chunk_loop needs chunk_l % 16 == 0 (dynamic slice starts carry a
+    # pl.multiple_of(ALIGN) hint; first attempt with chunk=1000 died in
+    # Mosaic: "cannot statically prove index is a multiple of 8")
+    for chunk in (800, 2000, 4000):
         probe(f"v5x_f32_chunkloop_b4_chunk{chunk}",
               lambda chunk=chunk: dict(**arm(forced_v5x(chunk), 4),
                                        chunk=chunk), results)
