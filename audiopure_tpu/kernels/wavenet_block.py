@@ -776,6 +776,48 @@ def v5x_vmem_est_mb(L: int, itemsize: int, C: int = 256,
     return (state + skip + weights + live) * 1.35
 
 
+def forward_dispatch_band(L: int, itemsize: int, *, c_res: int = 256,
+                          skip_ch: int = 256, cyc: int = 12,
+                          chunk_l=None):
+    """The ``wavenet_forward_pallas`` VMEM dispatch decision, shared by
+    the dispatcher and its regression test (tests/test_pallas_kernel.py
+    pins the bands so estimate drift can't silently change dispatch).
+
+    Returns ``(mode, chunk)`` with mode in {'resident', 'hbm_io',
+    'chunk_loop', 'v4'}; chunk is the fori-loop length-chunk for the
+    chunk_loop rescue (None otherwise).
+
+    Bands: the layer-resident state scales with L and element size
+    (ping-pong (2*margin+L, C) + skip + in/out blocks ~= 104 MB at
+    L=16000 bf16, plus ~13 MB cycle weights). Longer audio (e.g. the
+    1.5 s KWS buckets) blows the 128 MB ceiling — measured OOM: "Used
+    160.59M of 128.00M" at L=24000 bf16. First resort: v5x (hbm_io)
+    drops the double-buffered in/out staging from the resident set,
+    which covers the KWS bucket lengths at bf16. Second resort (f32):
+    v5x + chunk_loop — the fori_loop chunk body bounds the register-
+    spill slots that OOMed the unrolled v5x f32 at L=16000 (round-4h:
+    156.7M of 128M, ~50M of spills; chunk_loop measured FIT at
+    chunk<=2000 and 1.22-1.25x the v4 fallback, 82.4% of bf16 peak at
+    b16 — round-4i). The chunk_loop fit is measurement-gated to
+    f32 / L<=16000 / chunk<=2000 at <=256 channels (chunk 4000 still
+    OOMs at 139.5M); beyond that fall all the way back to v4.  bf16
+    keeps the unrolled body everywhere it fits (chunk_loop measured
+    +1.5% at bf16 b4 — round-4i)."""
+    if v5_vmem_est_mb(L, itemsize) * ((c_res + skip_ch) / 512.0) \
+            <= 118.0:
+        return "resident", None
+    if v5x_vmem_est_mb(L, itemsize, C=c_res, skip_ch=skip_ch, cyc=cyc,
+                       chunk_l=pick_stack_chunk(L, chunk_l)) <= 118.0:
+        return "hbm_io", None
+    loop_chunk = next((c for c in (2000, 1600, 800) if L % c == 0),
+                      None)
+    if (itemsize == 4 and L <= 16000 and c_res <= 256
+            and skip_ch <= 256 and loop_chunk is not None
+            and chunk_l is None):
+        return "chunk_loop", loop_chunk
+    return "v4", None
+
+
 def wavenet_stem(p, audio, diffusion_steps, embed_dim_in, dtype):
     """Shared pre-stack stages: timestep-embedding MLP (swish x2, ref
     ``WaveNet.py:60-66``) and the 1x1 init conv + relu. Returns
@@ -858,26 +900,21 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
     L = h.shape[1]
 
     hbm_io = False
+    chunk_loop = False
     if block_impl == "v5" and num_res_layers % dilation_cycle == 0:
-        # VMEM budget guard: the layer-resident state scales with L and
-        # element size (ping-pong (2*margin+L, C) + skip + in/out blocks
-        # ~= 104 MB at L=16000 bf16, plus ~13 MB cycle weights). Longer
-        # audio (e.g. the 1.5 s KWS buckets) blows the 128 MB ceiling —
-        # measured OOM: "Used 160.59M of 128.00M" at L=24000. First
-        # resort: v5x (hbm_io) drops the double-buffered in/out staging
-        # from the resident set, which covers the KWS bucket lengths at
-        # bf16; only past THAT estimate fall all the way back to v4.
-        itemsize = jnp.dtype(dtype).itemsize
-        if v5_vmem_est_mb(L, itemsize) > 118.0:
-            skip_ch = p["res_block_0"]["skip_conv"]["kernel"].shape[-1]
-            c_res = p["res_block_0"]["res_conv"]["kernel"].shape[-2]
-            if v5x_vmem_est_mb(
-                    L, itemsize, C=c_res, skip_ch=skip_ch,
-                    cyc=dilation_cycle,
-                    chunk_l=pick_stack_chunk(L, chunk_l)) <= 118.0:
-                hbm_io = True
-            else:
-                block_impl = "v4"
+        skip_ch = p["res_block_0"]["skip_conv"]["kernel"].shape[-1]
+        c_res = p["res_block_0"]["res_conv"]["kernel"].shape[-2]
+        mode, loop_chunk = forward_dispatch_band(
+            L, jnp.dtype(dtype).itemsize, c_res=c_res, skip_ch=skip_ch,
+            cyc=dilation_cycle, chunk_l=chunk_l)
+        if mode == "hbm_io":
+            hbm_io = True
+        elif mode == "chunk_loop":
+            hbm_io = True
+            chunk_loop = True
+            chunk_l = loop_chunk
+        elif mode == "v4":
+            block_impl = "v4"
     if block_impl == "v5" and num_res_layers % dilation_cycle == 0:
         # bf16 gate transcendentals by default under bf16 compute: on-chip
         # 87.7% vs 84.0% of bf16 peak, numerics at the same bf16-rounding
@@ -888,8 +925,9 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
         stack_in = wavenet_stack_inputs(p, emb, num_res_layers, dtype)
         skip_sum = fused_residual_stack(
             h, *stack_in, dilation_cycle=dilation_cycle,
-            chunk_l=pick_stack_chunk(L, chunk_l),
-            interpret=interpret, gate_dtype=gate_dtype, hbm_io=hbm_io)
+            chunk_l=chunk_l if chunk_loop else pick_stack_chunk(L, chunk_l),
+            interpret=interpret, gate_dtype=gate_dtype, hbm_io=hbm_io,
+            chunk_loop=chunk_loop)
         return wavenet_head(p, skip_sum, num_res_layers)
 
     skip_sum = jnp.zeros((h.shape[0], h.shape[1], skip_ch), dtype=dtype)

@@ -394,7 +394,66 @@ def test_v5x_dispatch_at_kws_bucket_length():
                                                      v5x_vmem_est_mb)
     assert v5_vmem_est_mb(24000, 2) > 118.0          # v5 proper OOMs
     assert v5x_vmem_est_mb(24000, 2) <= 118.0        # v5x fits
-    assert v5x_vmem_est_mb(24000, 4) > 118.0         # f32 falls to v4
+    assert v5x_vmem_est_mb(24000, 4) > 118.0         # f32 falls past v5x
+
+
+def test_forward_dispatch_bands():
+    """Pin the whole-net forward dispatch bands at the flagship
+    256/256-channel config so estimate drift can't silently change
+    dispatch (round-4h/4i measurements, docs/BENCH.md):
+
+      bf16 L=16000  resident v5 (measured 84-93.6% of peak)
+      bf16 L=24000  v5x hbm_io (KWS bucket; v5 measured OOM 160.59M)
+      f32  L=16000  v5x + chunk_loop, chunk 2000 (unrolled v5x measured
+                    OOM 156.7M of 128M — ~50M vreg spills; chunk_loop
+                    measured fit, 82.4% of peak at b16)
+      f32  L=24000  v4 (chunk_loop fit only measured to L=16000)
+
+    An explicit chunk_l override opts out of the chunk_loop rescue
+    (measured probes force their own configuration)."""
+    from audiopure_tpu.kernels.wavenet_block import forward_dispatch_band
+
+    assert forward_dispatch_band(16000, 2) == ("resident", None)
+    assert forward_dispatch_band(24000, 2) == ("hbm_io", None)
+    assert forward_dispatch_band(16000, 4) == ("chunk_loop", 2000)
+    assert forward_dispatch_band(24000, 4) == ("v4", None)
+    assert forward_dispatch_band(16000, 4, chunk_l=4000) == ("v4", None)
+    # small-channel models fit resident even at f32 long audio (the
+    # estimates are calibrated at 256 ch and scale by channel ratio)
+    assert forward_dispatch_band(24000, 4, c_res=16, skip_ch=16) \
+        == ("resident", None)
+
+
+def test_full_forward_f32_chunk_loop_dispatch_matches_flax(monkeypatch):
+    """The auto f32 rescue path end-to-end: when the band says
+    chunk_loop, wavenet_forward_pallas must hand fused_residual_stack
+    ``hbm_io=True, chunk_loop=True`` with the band's chunk — and still
+    match flax.  (The tiny test net would fit resident on its own, so
+    the band is pinned; the 256-ch band decision itself is
+    test_forward_dispatch_bands.)"""
+    from audiopure_tpu.kernels import wavenet_block as wb
+
+    net, params = _net_and_params()
+    L = 1024
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, L)) * 0.3
+    t = jnp.asarray([[5.0]])
+    want = np.asarray(net.apply(params, x, t))
+    monkeypatch.setattr(wb, "forward_dispatch_band",
+                        lambda *a, **kw: ("chunk_loop", 256))
+    calls = []
+    orig = wb.fused_residual_stack
+
+    def spy(*a, **kw):
+        calls.append(kw)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(wb, "fused_residual_stack", spy)
+    got = np.asarray(wavenet_forward_pallas(
+        params, x, t, num_res_layers=4, dilation_cycle=2,
+        embed_dim_in=16, dtype=jnp.float32, interpret=True))
+    assert calls and calls[0]["chunk_loop"] and calls[0]["hbm_io"]
+    assert calls[0]["chunk_l"] == 256
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
 
 
 def test_v6_bf16_gate_default_matches_flax_bf16():
