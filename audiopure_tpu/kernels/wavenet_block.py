@@ -751,10 +751,17 @@ def fused_residual_stack(
     return skip_out
 
 
-def v5_vmem_est_mb(L: int, itemsize: int) -> float:
+def v5_vmem_est_mb(L: int, itemsize: int, c_res: int = 256,
+                   skip_ch: int = 256) -> float:
     """Resident-footprint estimate of the v5 whole-net kernel, calibrated
-    at L=16000 bf16 (~104 MB state/blocks + ~13 MB cycle weights)."""
-    return (104.0 * L / 16000.0 + 13.0) * (itemsize / 2.0)
+    at L=16000 bf16 256ch (~104 MB state/blocks + ~13 MB cycle weights).
+    The state/blocks term scales linearly with total channels; the cycle
+    weights (3*C*2C + C*C + C*Cs per layer) scale quadratically — scaling
+    both linearly under-counts weights above 256 channels (ADVICE r4)."""
+    ch_lin = (c_res + skip_ch) / 512.0
+    ch_quad = (c_res * (7 * c_res + skip_ch)) / (256.0 * (7 * 256 + 256))
+    return (104.0 * L / 16000.0 * ch_lin + 13.0 * ch_quad) \
+        * (itemsize / 2.0)
 
 
 def v5x_vmem_est_mb(L: int, itemsize: int, C: int = 256,
@@ -803,7 +810,7 @@ def forward_dispatch_band(L: int, itemsize: int, *, c_res: int = 256,
     OOMs at 139.5M); beyond that fall all the way back to v4.  bf16
     keeps the unrolled body everywhere it fits (chunk_loop measured
     +1.5% at bf16 b4 — round-4i)."""
-    if v5_vmem_est_mb(L, itemsize) * ((c_res + skip_ch) / 512.0) \
+    if v5_vmem_est_mb(L, itemsize, c_res=c_res, skip_ch=skip_ch) \
             <= 118.0:
         return "resident", None
     if v5x_vmem_est_mb(L, itemsize, C=c_res, skip_ch=skip_ch, cyc=cyc,
@@ -811,8 +818,11 @@ def forward_dispatch_band(L: int, itemsize: int, *, c_res: int = 256,
         return "hbm_io", None
     loop_chunk = next((c for c in (2000, 1600, 800) if L % c == 0),
                       None)
+    # chunk_loop fit is measurement-gated: the register-spill reduction
+    # was probed at cyc=12 only — a larger dilation_cycle means a bigger
+    # halo margin and 2x-per-cycle weights, an unmeasured fit (ADVICE r4)
     if (itemsize == 4 and L <= 16000 and c_res <= 256
-            and skip_ch <= 256 and loop_chunk is not None
+            and skip_ch <= 256 and cyc <= 12 and loop_chunk is not None
             and chunk_l is None):
         return "chunk_loop", loop_chunk
     return "v4", None

@@ -579,10 +579,11 @@ def fullgrad_dispatch_band(L: int, itemsize: int, *, c_res: int = 256,
     Returns ``(mode, chunk)`` with mode in {'resident', 'hbm_io',
     'dh_hbm', 'per-layer'}; chunk is the backward length-chunk for the
     hbm variants (None otherwise)."""
-    # v5_vmem_est_mb is calibrated at C=Cs=256; scale by channel ratio
+    # v5_vmem_est_mb is calibrated at C=Cs=256; it scales its state term
+    # linearly and its weights term quadratically with the channel config
     # so non-256 configs dispatch on their real footprint
-    ch_scale = (c_res + skip_ch) / 512.0
-    if interpret or v5_vmem_est_mb(L, itemsize) * ch_scale + 2.0 \
+    if interpret or v5_vmem_est_mb(L, itemsize, c_res=c_res,
+                                   skip_ch=skip_ch) + 2.0 \
             <= 121.0:
         return "resident", None
     # long audio: the hbm_io variants (v5x-style in/out DMA for the

@@ -377,7 +377,6 @@ def wavenet_forward_pallas_train(params, audio, diffusion_steps, *,
     blk0 = params["params"]["res_block_0"]
     c_res = blk0["res_conv"]["kernel"].shape[-2]
     skip_ch = blk0["skip_conv"]["kernel"].shape[-1]
-    ch_scale = (c_res + skip_ch) / 512.0
     bwd_chunk = next(
         (ch for ch in (1000, 800, 500, 400)
          if L_in % ch == 0 and (interpret or trainstack_bwd_vmem_est_mb(
@@ -386,7 +385,8 @@ def wavenet_forward_pallas_train(params, audio, diffusion_steps, *,
     too_big = bwd_chunk is None or (
         # save_x forward = v5 resident + h/x staging
         (not interpret)
-        and v5_vmem_est_mb(L_in, itemsize) * ch_scale + 3.0 > 121.0)
+        and v5_vmem_est_mb(L_in, itemsize, c_res=c_res,
+                           skip_ch=skip_ch) + 3.0 > 121.0)
     if num_res_layers % dilation_cycle != 0 or too_big:
         from audiopure_tpu.models.wavenet import WaveNet
 

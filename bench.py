@@ -15,10 +15,26 @@ MACs), so t=3 costs ~1.81 TFLOP/utterance + classifier (~0.02 TFLOP).
 Granting the torch eager pipeline 46% TF32 MFU on A100 (generous for an
 eager per-step loop through torchsde) gives ~40 utt/s. BASELINE.md records
 that the reference repo itself publishes no number for this workload.
+
+Robustness contract (round-5): the script must ALWAYS emit its JSON line
+inside the driver budget. Three mechanisms:
+  1. BENCH_BUDGET_S (default 900 s) — before each probe section the
+     elapsed time is checked against the section's estimated warm cost;
+     sections that don't fit are skipped and listed in record["skipped"].
+  2. SIGTERM/SIGALRM handlers — if the driver's own timeout fires first
+     (or the self-alarm at BENCH_BUDGET_S+60), whatever has been measured
+     so far is printed and the process exits 0. A partial record beats
+     rc=124 with nothing parsed (that was round 4's failure).
+  3. Probe priority order: headline -> paired-EOT marginal (the honest
+     north-star number) -> shared-EOT -> EOT-1, so low budgets keep the
+     most important keys. Deep/secondary programs (the shared-EOT second
+     scan length) only run under BENCH_DEEP=1, which the chained probe
+     scripts set once the compile cache is warm.
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -36,6 +52,12 @@ REVERSE_T = int(os.environ.get("BENCH_T", "3"))
 ITERS = int(os.environ.get("BENCH_ITERS", "6"))
 CONV = os.environ.get("BENCH_CONV", "pallas")  # {'xla', 'pallas'}
 DP = int(os.environ.get("BENCH_DP", "1"))      # data-parallel chips
+# total wall budget for the whole script; sections that don't fit are
+# skipped so the JSON line always lands (VERDICT r4 item 1)
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
+# BENCH_DEEP=1 re-enables the secondary programs (shared-EOT marginal's
+# second scan length) — set it only when .jax_tpu_cache is warm
+DEEP = os.environ.get("BENCH_DEEP", "0") == "1"
 # EOT-PGD side probe (the north-star attack workload, BASELINE.json
 # configs[2]); set BENCH_EOT=0 to skip
 EOT_PROBE = os.environ.get("BENCH_EOT", "1") == "1"
@@ -74,10 +96,64 @@ FULL_EOT_ITERS = int(os.environ.get("BENCH_FULL_EOT_ITERS", "5"))
 # ~65 s); paired two_pass at 15 iters is ~39 s — safe margin.
 FULL_EOT_ITERS2 = int(os.environ.get("BENCH_FULL_EOT_ITERS2", "15"))
 
+T_START = time.time()
+_PRINTED = False
+# Estimated WARM wall cost per section (seconds), used by the budget
+# guard. Cold compiles blow through any estimate — that's what the
+# signal handlers are for.
+SECTION_COST_S = {"paired": 300.0, "eot15": 150.0, "eot1": 60.0,
+                  "train": 120.0}
+
+
+def _emit(record):
+    """Print the JSON line exactly once (normal path or signal path)."""
+    global _PRINTED
+    if _PRINTED:
+        return
+    _PRINTED = True
+    print(json.dumps(record), flush=True)
+
+
+def _time_left():
+    return BUDGET_S - (time.time() - T_START)
+
+
+def _fits(section, record):
+    """Budget guard: True if the section's estimated warm cost fits in
+    the remaining budget; otherwise record it as skipped."""
+    if _time_left() >= SECTION_COST_S.get(section, 120.0):
+        return True
+    record.setdefault("skipped", []).append(section)
+    print(f"budget guard: skipping {section} "
+          f"({_time_left():.0f}s left)", file=sys.stderr)
+    return False
+
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    record = {
+        "metric": "purified utterances/sec/chip (VP-SDE t=3 + WRN-28-10)",
+        "value": None,
+        "unit": "utterances/sec/chip",
+        "vs_baseline": None,
+    }
+
+    # If the driver's timeout (SIGTERM) or our self-alarm fires before the
+    # normal print, emit whatever has been measured and exit 0 — a partial
+    # record always beats rc=124/parsed:null (round-4 failure mode).
+    def _bail(signum, frame):  # pragma: no cover - signal path
+        record.setdefault("skipped", []).append(f"signal:{signum}")
+        _emit(record)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _bail)
+    signal.signal(signal.SIGALRM, _bail)
+    # hard self-kill: independent knob so a tiny probe budget (skip all
+    # probes, keep the headline) doesn't also alarm out the headline
+    signal.alarm(int(float(os.environ.get("BENCH_HARD_KILL_S",
+                                          str(BUDGET_S + 60)))))
 
     try:  # persistent compile cache: repeat runs skip the 5-15 min
         # remote compiles (harmless if the backend ignores it)
@@ -162,9 +238,11 @@ def main():
     # rep guards the headline against a transiently degraded worker —
     # the remote runtime serves ~30% slow for minutes after a worker
     # restart (observed round 4: 68.99 vs the reproducible 99.11 utt/s
-    # four minutes after a kill)
+    # four minutes after a kill). Both conventions are emitted (value =
+    # best rep; headline_mean_utt_s = mean of reps) so cross-round
+    # tables stay comparable (VERDICT r4 item 8).
     REPS = int(os.environ.get("BENCH_HEADLINE_REPS", "3"))
-    dt = float("inf")
+    rep_times = []
     for _ in range(max(REPS, 1)):
         t0 = time.perf_counter()
         for i in range(ITERS):
@@ -174,22 +252,120 @@ def main():
         # the EOT probe below for why); logits are tiny so transfer is
         # free
         float(jnp.abs(out).sum())
-        dt = min(dt, time.perf_counter() - t0)
+        rep_times.append(time.perf_counter() - t0)
+    dt = min(rep_times)
 
     ups = BATCH * ITERS / dt / max(DP, 1)
+    ups_mean = (BATCH * ITERS * len(rep_times)
+                / sum(rep_times) / max(DP, 1))
 
-    record = {
-        "metric": "purified utterances/sec/chip (VP-SDE t=3 + WRN-28-10)",
-        "value": round(ups, 2),
-        "unit": "utterances/sec/chip",
-        "vs_baseline": round(ups / A100_REFERENCE_UPS, 3),
-    }
+    record["value"] = round(ups, 2)
+    record["vs_baseline"] = round(ups / A100_REFERENCE_UPS, 3)
+    record["headline_mean_utt_s"] = round(ups_mean, 2)
     if DP > 1:
         record["dp"] = DP
         record["total_utt_per_sec"] = round(ups * DP, 2)
 
-    # --- EOT-PGD probe: the north-star adaptive-attack workload ---------
-    if EOT_PROBE:
+    def _time_eot_attack(make_atk, n_iters, seed0):
+        """Min wall-clock of 2 timed runs of a freshly built attack at
+        ``n_iters`` scan length (1 warmup; device->host barrier)."""
+        atk = make_atk(n_iters)
+        xa = x[:FULL_EOT_BATCH]
+        ya = jnp.zeros((FULL_EOT_BATCH,), dtype=jnp.int32)
+        out = atk.generate(xa, ya, jax.random.PRNGKey(seed0))
+        float(jnp.abs(out[0] - xa).max())    # airtight barrier
+        times = []
+        for rep in range(2):
+            t0 = time.perf_counter()
+            out = atk.generate(xa, ya,
+                               jax.random.PRNGKey(seed0 + 1 + rep))
+            dmax = float(jnp.abs(out[0] - xa).max())
+            times.append(time.perf_counter() - t0)
+            if not (dmax > 0 or bool(out[1][0].all())):
+                raise RuntimeError("EOT probe did not move input")
+        return min(times)
+
+    def _emit_eot_keys(prefix, make_atk, seed0, cfg, marginal=True):
+        t1 = _time_eot_attack(make_atk, FULL_EOT_ITERS, seed0)
+        ms_utt_iter = t1 * 1e3 / (FULL_EOT_BATCH * FULL_EOT_ITERS)
+        E = FULL_EOT_SIZE
+        record[f"{prefix}_ms_per_utt_iter"] = round(ms_utt_iter, 1)
+        record[f"{prefix}_ms_per_utt_iter_replica"] = round(
+            ms_utt_iter / E, 2)
+        record[f"{prefix}_vs_baseline"] = round(
+            A100_REFERENCE_EOT_MS / (ms_utt_iter / E), 3)
+        record[f"{prefix}_config"] = cfg
+        if marginal and FULL_EOT_ITERS2 > FULL_EOT_ITERS:
+            # marginal per-iteration cost: the slope between two scan
+            # lengths cancels the trailing prediction pass (ref :426)
+            # and per-dispatch constants — the 70-iter operating point
+            t2 = _time_eot_attack(make_atk, FULL_EOT_ITERS2, seed0 + 40)
+            dmarg = ((t2 - t1) * 1e3
+                     / (FULL_EOT_BATCH * (FULL_EOT_ITERS2
+                                          - FULL_EOT_ITERS)))
+            record[f"{prefix}_marginal_ms_per_utt_iter_replica"] = round(
+                dmarg / E, 2)
+            record[f"{prefix}_marginal_vs_baseline"] = round(
+                A100_REFERENCE_EOT_MS / (dmarg / E), 3)
+
+    # --- exact reference pairing (two independent EOT stacks/iter) -----
+    # the honest-headline configuration (white_box_attack.py:386-435):
+    # no share_eot deviation. Runs FIRST among the attack probes: its
+    # marginal is the north-star per-chip number, so low budgets keep it.
+    # BENCH_EOT_PAIRED_MODE picks the schedule (two_pass | fused, see
+    # EOT.paired); default set by the round-4a A/B.
+    if (FULL_EOT_PROBE
+            and os.environ.get("BENCH_EOT_PAIRED", "1") == "1"
+            and _fits("paired", record)):
+        try:
+            from audiopure_tpu.attacks import AudioAttack
+
+            mode = os.environ.get("BENCH_EOT_PAIRED_MODE", "two_pass")
+            model_fn = lambda xx, kk: system(xx, key=kk)
+            E = FULL_EOT_SIZE
+            _emit_eot_keys(
+                "eot15_paired",
+                lambda n: AudioAttack(
+                    model_fn, eps=0.002, norm="linf", max_iter_1=n,
+                    learning_rate_1=0.002 / 5,
+                    eot_attack_size=E, eot_defense_size=E,
+                    eot_chunk=FULL_EOT_CHUNK,
+                    pair_fused=(mode == "fused")),
+                seed0=29,
+                cfg={"eot": E, "chunk": FULL_EOT_CHUNK, "mode": mode,
+                     "batch": FULL_EOT_BATCH})
+        except Exception as e:  # pragma: no cover - keep the headline
+            print(f"paired-EOT probe failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    # --- FULL EOT 15x15 probe (share_eot schedule) ----------------------
+    # Second scan length (marginal keys) only under BENCH_DEEP=1: it is a
+    # separate multi-minute cold compile and the paired marginal above is
+    # the number that matters (VERDICT r4 item 1b).
+    if FULL_EOT_PROBE and _fits("eot15", record):
+        try:
+            from audiopure_tpu.attacks import AudioAttack
+
+            model_fn = lambda xx, kk: system(xx, key=kk)
+            E = FULL_EOT_SIZE
+            _emit_eot_keys(
+                "eot15",
+                lambda n: AudioAttack(
+                    model_fn, eps=0.002, norm="linf", max_iter_1=n,
+                    learning_rate_1=0.002 / 5,
+                    eot_attack_size=E, eot_defense_size=E,
+                    eot_chunk=FULL_EOT_CHUNK, share_eot=FULL_EOT_SHARE),
+                seed0=19,
+                cfg={"eot": E, "chunk": FULL_EOT_CHUNK,
+                     "share_eot": FULL_EOT_SHARE,
+                     "batch": FULL_EOT_BATCH},
+                marginal=DEEP)
+        except Exception as e:  # pragma: no cover - keep the headline
+            print(f"full-EOT probe failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    # --- EOT-1 PGD probe: the plain adaptive-attack workload -------------
+    if EOT_PROBE and _fits("eot1", record):
         try:
             from audiopure_tpu.attacks import AudioAttack
 
@@ -229,102 +405,10 @@ def main():
             print(f"EOT probe failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
-    # --- FULL EOT 15x15 probe: the reference flagship attack config -----
-    def _time_eot_attack(make_atk, n_iters, seed0):
-        """Min wall-clock of 2 timed runs of a freshly built attack at
-        ``n_iters`` scan length (1 warmup; device->host barrier)."""
-        from audiopure_tpu.attacks import AudioAttack  # noqa: F401
-
-        atk = make_atk(n_iters)
-        xa = x[:FULL_EOT_BATCH]
-        ya = jnp.zeros((FULL_EOT_BATCH,), dtype=jnp.int32)
-        out = atk.generate(xa, ya, jax.random.PRNGKey(seed0))
-        float(jnp.abs(out[0] - xa).max())    # airtight barrier
-        times = []
-        for rep in range(2):
-            t0 = time.perf_counter()
-            out = atk.generate(xa, ya,
-                               jax.random.PRNGKey(seed0 + 1 + rep))
-            dmax = float(jnp.abs(out[0] - xa).max())
-            times.append(time.perf_counter() - t0)
-            if not (dmax > 0 or bool(out[1][0].all())):
-                raise RuntimeError("EOT probe did not move input")
-        return min(times)
-
-    def _emit_eot_keys(prefix, make_atk, seed0, cfg):
-        t1 = _time_eot_attack(make_atk, FULL_EOT_ITERS, seed0)
-        ms_utt_iter = t1 * 1e3 / (FULL_EOT_BATCH * FULL_EOT_ITERS)
-        E = FULL_EOT_SIZE
-        record[f"{prefix}_ms_per_utt_iter"] = round(ms_utt_iter, 1)
-        record[f"{prefix}_ms_per_utt_iter_replica"] = round(
-            ms_utt_iter / E, 2)
-        record[f"{prefix}_vs_baseline"] = round(
-            A100_REFERENCE_EOT_MS / (ms_utt_iter / E), 3)
-        record[f"{prefix}_config"] = cfg
-        if FULL_EOT_ITERS2 > FULL_EOT_ITERS:
-            # marginal per-iteration cost: the slope between two scan
-            # lengths cancels the trailing prediction pass (ref :426)
-            # and per-dispatch constants — the 70-iter operating point
-            t2 = _time_eot_attack(make_atk, FULL_EOT_ITERS2, seed0 + 40)
-            dmarg = ((t2 - t1) * 1e3
-                     / (FULL_EOT_BATCH * (FULL_EOT_ITERS2
-                                          - FULL_EOT_ITERS)))
-            record[f"{prefix}_marginal_ms_per_utt_iter_replica"] = round(
-                dmarg / E, 2)
-            record[f"{prefix}_marginal_vs_baseline"] = round(
-                A100_REFERENCE_EOT_MS / (dmarg / E), 3)
-
-    if FULL_EOT_PROBE:
-        try:
-            from audiopure_tpu.attacks import AudioAttack
-
-            model_fn = lambda xx, kk: system(xx, key=kk)
-            E = FULL_EOT_SIZE
-            _emit_eot_keys(
-                "eot15",
-                lambda n: AudioAttack(
-                    model_fn, eps=0.002, norm="linf", max_iter_1=n,
-                    learning_rate_1=0.002 / 5,
-                    eot_attack_size=E, eot_defense_size=E,
-                    eot_chunk=FULL_EOT_CHUNK, share_eot=FULL_EOT_SHARE),
-                seed0=19,
-                cfg={"eot": E, "chunk": FULL_EOT_CHUNK,
-                     "share_eot": FULL_EOT_SHARE,
-                     "batch": FULL_EOT_BATCH})
-        except Exception as e:  # pragma: no cover - keep the headline
-            print(f"full-EOT probe failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-
-    # --- exact reference pairing (two independent EOT stacks/iter) -----
-    # the honest-headline configuration (white_box_attack.py:386-435):
-    # no share_eot deviation. BENCH_EOT_PAIRED_MODE picks the schedule
-    # (two_pass | fused, see EOT.paired); default set by the round-4a A/B.
-    if FULL_EOT_PROBE and os.environ.get("BENCH_EOT_PAIRED", "1") == "1":
-        try:
-            from audiopure_tpu.attacks import AudioAttack
-
-            mode = os.environ.get("BENCH_EOT_PAIRED_MODE", "two_pass")
-            model_fn = lambda xx, kk: system(xx, key=kk)
-            E = FULL_EOT_SIZE
-            _emit_eot_keys(
-                "eot15_paired",
-                lambda n: AudioAttack(
-                    model_fn, eps=0.002, norm="linf", max_iter_1=n,
-                    learning_rate_1=0.002 / 5,
-                    eot_attack_size=E, eot_defense_size=E,
-                    eot_chunk=FULL_EOT_CHUNK,
-                    pair_fused=(mode == "fused")),
-                seed0=29,
-                cfg={"eot": E, "chunk": FULL_EOT_CHUNK, "mode": mode,
-                     "batch": FULL_EOT_BATCH})
-        except Exception as e:  # pragma: no cover - keep the headline
-            print(f"paired-EOT probe failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-
     # --- optional: DiffWave training throughput (BENCH_TRAIN=1) --------
     # off by default: the step is a separate multi-minute remote compile
     # and the headline metric must never hinge on it
-    if os.environ.get("BENCH_TRAIN", "0") == "1":
+    if os.environ.get("BENCH_TRAIN", "0") == "1" and _fits("train", record):
         try:
             import optax
 
@@ -368,7 +452,8 @@ def main():
             print(f"train probe failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
-    print(json.dumps(record))
+    signal.alarm(0)
+    _emit(record)
 
 
 if __name__ == "__main__":

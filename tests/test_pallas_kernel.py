@@ -422,6 +422,19 @@ def test_forward_dispatch_bands():
     # estimates are calibrated at 256 ch and scale by channel ratio)
     assert forward_dispatch_band(24000, 4, c_res=16, skip_ch=16) \
         == ("resident", None)
+    # ADVICE r4: the chunk_loop fit was only measured at cyc=12 — a
+    # larger dilation_cycle must fall back to v4, not dispatch into an
+    # unmeasured VMEM fit
+    assert forward_dispatch_band(16000, 4, cyc=14) == ("v4", None)
+    # ADVICE r4: the resident weights term scales quadratically with
+    # channels; a 512-ch config at short L must NOT be kept resident by
+    # a linearly-scaled estimate (weights alone are ~4x the 13 MB pin)
+    mode_512, _ = forward_dispatch_band(8000, 2, c_res=512, skip_ch=512)
+    assert mode_512 != "resident"
+    from audiopure_tpu.kernels.wavenet_block import v5_vmem_est_mb
+    # quadratic weights component: 512 ch weights = 4x the 256-ch 13 MB
+    assert v5_vmem_est_mb(16000, 2, c_res=512, skip_ch=512) >= \
+        104.0 * 2 + 13.0 * 4 - 1e-6
 
 
 def test_full_forward_f32_chunk_loop_dispatch_matches_flax(monkeypatch):
