@@ -6,6 +6,7 @@ from audiopure_tpu.parallel.mesh import (  # noqa: F401
 )
 from audiopure_tpu.parallel.dp_kernel import (  # noqa: F401
     dp_shard_apply,
+    dp_shard_attack,
     dp_shard_eval,
     make_dp_train_step,
 )
