@@ -32,15 +32,37 @@ import numpy as np
 # FFT compression
 # ---------------------------------------------------------------------------
 
-def fft_compression(audio: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
+def int16_roundtrip(audio: jnp.ndarray) -> jnp.ndarray:
+    """The scalar reference variant's int16 output cast
+    (``_Kenan.py:83,112``: ``np.asarray(ifft_audio, dtype=np.int16)``),
+    as a float-valued round trip: truncate toward zero to an integer,
+    saturate to the int16 range.
+
+    The reference pipeline carries raw WAV int16-scale samples, so the
+    cast is applied at unit scale — callers on this framework's
+    [-1, 1] float convention should pass ``audio * 32768`` (and rescale
+    back) if they want bit-exact ``_Kenan.py`` outputs. Deviation: numpy's
+    C-cast wraps on out-of-range values (undefined behavior); this
+    round trip saturates instead (documented in docs/PARITY.md).
+    """
+    return jnp.clip(jnp.trunc(audio), -32768.0, 32767.0).astype(
+        audio.dtype)
+
+
+def fft_compression(audio: jnp.ndarray, factor: jnp.ndarray,
+                    int16_output: bool = False) -> jnp.ndarray:
     """Zero rfft coefficients with |X_k| < factor (per sample).
 
-    audio: (B, 1, L); factor: (B,).
+    audio: (B, 1, L); factor: (B,). ``int16_output=True`` reproduces the
+    scalar variant's int16 output quantization (``_Kenan.py:70-83``);
+    default False matches the batched ``_KenanFFT.py:57-82`` float
+    pipeline (the variant the reference eval actually drives).
     """
     X = jnp.fft.rfft(audio, axis=2)
     mask = jnp.abs(X) >= factor[:, None, None]
-    return jnp.fft.irfft(X * mask, n=audio.shape[2], axis=2).astype(
+    out = jnp.fft.irfft(X * mask, n=audio.shape[2], axis=2).astype(
         audio.dtype)
+    return int16_roundtrip(out) if int16_output else out
 
 
 # ---------------------------------------------------------------------------
@@ -93,10 +115,13 @@ def ssa_window(length: int) -> int:
 
 
 def ssa_compression(audio: jnp.ndarray, factor_pct: jnp.ndarray,
-                    pc=None, s=None, v=None) -> jnp.ndarray:
+                    pc=None, s=None, v=None,
+                    int16_output: bool = False) -> jnp.ndarray:
     """Keep the top ``factor_pct``% of SSA components (per sample).
 
-    audio: (B, 1, L); factor_pct: (B,) in [0, 100].
+    audio: (B, 1, L); factor_pct: (B,) in [0, 100]. ``int16_output=True``
+    reproduces the scalar variant's int16 output quantization
+    (``_Kenan.py:86-112``).
     """
     B, _, L = audio.shape
     dim = ssa_window(L)
@@ -106,6 +131,8 @@ def ssa_compression(audio: jnp.ndarray, factor_pct: jnp.ndarray,
     n_keep = jnp.maximum((dim * factor_pct / 100.0).astype(jnp.int32), 1)
     masks = (jnp.arange(dim)[None, :] < n_keep[:, None]).astype(audio.dtype)
     rec = jax.vmap(inv_ssa)(pc, v, masks)
+    if int16_output:
+        rec = int16_roundtrip(rec)
     return rec[:, None, :], (pc, s, v)
 
 

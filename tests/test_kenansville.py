@@ -100,3 +100,38 @@ def test_kenansville_fft_attack_on_toy():
 def test_ssa_window_rule():
     assert ssa_window(16000) == 800
     assert ssa_window(100000) == 3000
+
+
+def test_int16_roundtrip_matches_reference_cast():
+    """``int16_output`` reproduces the scalar variant's output cast
+    (``_Kenan.py:83``: ``np.asarray(ifft_audio, dtype=np.int16)``) for
+    in-range values — truncation toward zero, applied at the raw WAV
+    int16 scale the reference pipeline carries."""
+    from audiopure_tpu.attacks.kenansville import (fft_compression,
+                                                   int16_roundtrip)
+
+    rng = np.random.RandomState(0)
+    # int16-scale signal, like the reference's scipy WAV read
+    x = (rng.randn(2, 1, 400) * 8000.0).astype(np.float32)
+
+    # the reference fft path on the same data: rfft==fft for real input
+    # up to the conjugate half, but _Kenan.py uses full fft — emulate
+    # exactly with numpy
+    factor = np.array([150.0, 90.0], dtype=np.float32)
+    want = []
+    for i in range(2):
+        X = np.fft.fft(x[i, 0])
+        X[np.abs(X) < factor[i]] = 0
+        want.append(np.fft.ifft(X).real.astype(np.int16))
+    want = np.stack(want)[:, None, :]
+
+    got = fft_compression(jnp.asarray(x), jnp.asarray(factor),
+                          int16_output=True)
+    np.testing.assert_array_equal(np.asarray(got).astype(np.int16), want)
+    # float round trip: values are exactly the int16 lattice
+    assert float(jnp.abs(got - jnp.round(got)).max()) == 0.0
+
+    # saturation (documented deviation from numpy's wrapping C cast)
+    sat = int16_roundtrip(jnp.asarray([[40000.0, -40000.0, 12.7]]))
+    np.testing.assert_array_equal(np.asarray(sat),
+                                  [[32767.0, -32768.0, 12.0]])
