@@ -190,11 +190,19 @@ class RevDiffWave:
     def __call__(self, x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
         """(B, 1, L) -> (sample_step*B, 1, L), like the reference's concat
         over ``sample_step`` purification runs (``diffwave_sde.py:183-212``).
+
+        Purification rounds CHAIN: round ``it`` re-purifies round
+        ``it-1``'s output (the reference reassigns ``x0 = xs_[-1]``
+        inside its loop, ``diffwave_sde.py:205``), and every
+        intermediate purified waveform is concatenated along batch.
         """
         if self.sample_step == 1:
             return self.purify_once(x, key)
         keys = jax.random.split(key, self.sample_step)
-        outs = [self.purify_once(x, k) for k in keys]
+        outs = []
+        for k in keys:
+            x = self.purify_once(x, k)
+            outs.append(x)
         return jnp.concatenate(outs, axis=0)
 
 
@@ -393,10 +401,23 @@ class RevSpecDiffusion:
         return x0
 
     def __call__(self, spec: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
-        """(B, 1, n_mels, frames) log-mel dB -> purified log-mel dB."""
+        """(B, 1, n_mels, frames) log-mel dB -> purified log-mel dB.
+
+        Rounds chain like the waveform variant (ref
+        ``improved_diffusion_sde.py:206``), but in STANDARDIZED space:
+        the reference inv-standardizes at the end of each round and then
+        q-jumps the raw dB-scale values on the next round
+        (``improved_diffusion_sde.py:186-206``) — a bug (the SDE is
+        trained on [-1, 1] inputs; dB values ~[-100, 38] make round >= 2
+        meaningless).  Fixed here by re-purifying the standardized
+        output; deviation documented in docs/PARITY.md.
+        """
         x0 = self.standardize(spec)
         if self.sample_step == 1:
             return self.inv_standardize(self.purify_once(x0, key))
         keys = jax.random.split(key, self.sample_step)
-        outs = [self.inv_standardize(self.purify_once(x0, k)) for k in keys]
+        outs = []
+        for k in keys:
+            x0 = self.purify_once(x0, k)
+            outs.append(self.inv_standardize(x0))
         return jnp.concatenate(outs, axis=0)
