@@ -500,10 +500,93 @@ def fused_residual_pair(
     return x_next, skip
 
 
+def _vmap_collapse(fn, n_row_args, out_batched=True):
+    """``custom_vmap`` rule for the whole-net kernels: fold a mapped axis
+    into the batch-row grid dim instead of letting vmap batch the
+    ``pallas_call``.
+
+    Pallas TPU rejects the auto-batched form of a kernel whose in/out
+    blocks live in ``memory_space=ANY`` (vmap prepends a grid dim with a
+    non-trivial index_map, which ANY-space blocks don't support — the
+    round-5 f32 EOT bench crash).  The kernels treat batch rows
+    independently (grid axis 0), so a mapped axis is semantically just
+    more batch rows: the rule reshapes the first ``n_row_args``
+    per-batch-row tensors from ``(E, B, ...)`` to ``(E*B, ...)``, runs
+    the primal once, and unfolds every output (all outputs are
+    B-leading by the kernels' contracts — do NOT use this for outputs
+    reduced over B, e.g. training weight cotangents).
+
+    Stacked weights (the remaining args) are expected unmapped
+    (broadcast); if one IS mapped — per-replica parameters — fall back
+    to a ``lax.map`` over the axis."""
+    cfn = jax.custom_batching.custom_vmap(fn)
+
+    @cfn.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        if any(b for i, b in enumerate(in_batched) if i >= n_row_args):
+            stacked = tuple(
+                a if b else
+                jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+                for a, b in zip(args, in_batched))
+            return jax.lax.map(lambda t: fn(*t), stacked), out_batched
+        folded = []
+        for i, (a, b) in enumerate(zip(args, in_batched)):
+            if i < n_row_args:
+                if not b:
+                    a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+                a = a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+            folded.append(a)
+        out = fn(*folded)
+        unfold = lambda o: o.reshape(
+            (axis_size, o.shape[0] // axis_size) + o.shape[1:])
+        return jax.tree_util.tree_map(unfold, out), out_batched
+
+    return cfn
+
+
+@functools.lru_cache(maxsize=None)
+def _hbm_stack_vmappable(dilation_cycle, chunk_l, interpret,
+                         gate_dtype_key, chunk_loop):
+    """Per-static-config ``custom_vmap`` wrapper for the hbm_io forward
+    stack (cached so repeated traces reuse one rule)."""
+    gate_dtype = None if gate_dtype_key is None else jnp.dtype(
+        gate_dtype_key)
+
+    def call(x, t_biases, wd, bd, wres, bres, wskip, bskip):
+        return _fused_residual_stack_jit(
+            x, t_biases, wd, bd, wres, bres, wskip, bskip,
+            dilation_cycle=dilation_cycle, chunk_l=chunk_l,
+            interpret=interpret, gate_dtype=gate_dtype, hbm_io=True,
+            chunk_loop=chunk_loop)
+
+    return _vmap_collapse(call, n_row_args=2)
+
+
+def fused_residual_stack(x, t_biases, wd, bd, wres, bres, wskip, bskip,
+                         dilation_cycle: int, chunk_l: int = 2000,
+                         interpret: bool = False, gate_dtype=None,
+                         hbm_io: bool = False, chunk_loop: bool = False):
+    """Dispatch shim over :func:`_fused_residual_stack_jit`: the hbm_io
+    variants (memory_space=ANY in/out) go through a ``custom_vmap``
+    collapse rule so an EOT/NES replica ``vmap`` folds into the batch
+    grid dim instead of hitting the Pallas ANY-space batching
+    restriction."""
+    if not hbm_io:
+        return _fused_residual_stack_jit(
+            x, t_biases, wd, bd, wres, bres, wskip, bskip,
+            dilation_cycle=dilation_cycle, chunk_l=chunk_l,
+            interpret=interpret, gate_dtype=gate_dtype, hbm_io=False,
+            chunk_loop=chunk_loop)
+    key = None if gate_dtype is None else jnp.dtype(gate_dtype).name
+    fn = _hbm_stack_vmappable(dilation_cycle, chunk_l, bool(interpret),
+                              key, bool(chunk_loop))
+    return fn(x, t_biases, wd, bd, wres, bres, wskip, bskip)
+
+
 @functools.partial(jax.jit, static_argnames=("dilation_cycle", "chunk_l",
                                              "interpret", "gate_dtype",
                                              "hbm_io", "chunk_loop"))
-def fused_residual_stack(
+def _fused_residual_stack_jit(
     x: jnp.ndarray,          # (B, L, C) hidden state after init_conv
     t_biases: jnp.ndarray,   # (B, NL, C) per-layer timestep biases
     wd: jnp.ndarray,         # (NL, 3, C, 2C)

@@ -46,15 +46,47 @@ SQRT_HALF = math.sqrt(0.5)
 # forward: v5 body + h streaming
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("dilation_cycle", "chunk_l",
-                                             "interpret", "hbm_io",
-                                             "save_x"))
+@functools.lru_cache(maxsize=None)
+def _save_h_vmappable(dilation_cycle, chunk_l, interpret, hbm_io, save_x):
+    """Per-static-config ``custom_vmap`` wrapper: the h_all (and x_all)
+    streaming outputs live in memory_space=ANY in EVERY io mode, so a
+    replica ``vmap`` (EOT grad_mode='full') must fold into the batch
+    grid dim rather than batch the pallas_call (see
+    ``wavenet_block._vmap_collapse``)."""
+    from audiopure_tpu.kernels.wavenet_block import _vmap_collapse
+
+    def call(x, t_biases, wd, bd, wres, bres, wskip, bskip):
+        return _fused_residual_stack_save_h_jit(
+            x, t_biases, wd, bd, wres, bres, wskip, bskip,
+            dilation_cycle=dilation_cycle, chunk_l=chunk_l,
+            interpret=interpret, hbm_io=hbm_io, save_x=save_x)
+
+    return _vmap_collapse(call, n_row_args=2,
+                          out_batched=(True,) * (3 if save_x else 2))
+
+
 def fused_residual_stack_save_h(x, t_biases, wd, bd, wres, bres, wskip,
                                 bskip, dilation_cycle: int,
                                 chunk_l: int = 2000,
                                 interpret: bool = False,
                                 hbm_io: bool = False,
                                 save_x: bool = False):
+    """vmap-safe shim over :func:`_fused_residual_stack_save_h_jit`
+    (see :func:`_save_h_vmappable`); same signature and outputs."""
+    fn = _save_h_vmappable(dilation_cycle, chunk_l, bool(interpret),
+                           bool(hbm_io), bool(save_x))
+    return fn(x, t_biases, wd, bd, wres, bres, wskip, bskip)
+
+
+@functools.partial(jax.jit, static_argnames=("dilation_cycle", "chunk_l",
+                                             "interpret", "hbm_io",
+                                             "save_x"))
+def _fused_residual_stack_save_h_jit(x, t_biases, wd, bd, wres, bres,
+                                     wskip, bskip, dilation_cycle: int,
+                                     chunk_l: int = 2000,
+                                     interpret: bool = False,
+                                     hbm_io: bool = False,
+                                     save_x: bool = False):
     """Returns (skip_sum (B, L, Cs), h_all (B, NL, L, 2C) in ``x.dtype``).
 
     ``hbm_io=True`` mirrors the v5x forward: the audio input and skip
@@ -243,14 +275,44 @@ def fused_residual_stack_save_h(x, t_biases, wd, bd, wres, bres, wskip,
 # backward: layer-resident transposed stack
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("dilation_cycle", "chunk_l",
-                                             "interpret", "hbm_io",
-                                             "dh_hbm"))
+@functools.lru_cache(maxsize=None)
+def _bwd_vmappable(dilation_cycle, chunk_l, interpret, hbm_io, dh_hbm):
+    """Per-static-config ``custom_vmap`` wrapper for the backward stack:
+    h_all arrives in memory_space=ANY in every mode (and g_skip/dx in the
+    hbm variants), so a replica ``vmap`` folds into the batch grid dim
+    (see ``wavenet_block._vmap_collapse``).  Both outputs (dx, g_tbias)
+    are B-leading, so the collapse is sound."""
+    from audiopure_tpu.kernels.wavenet_block import _vmap_collapse
+
+    def call(g_skip, h_all, wd, wres, wskip):
+        return _fused_residual_stack_bwd_jit(
+            g_skip, h_all, wd, wres, wskip,
+            dilation_cycle=dilation_cycle, chunk_l=chunk_l,
+            interpret=interpret, hbm_io=hbm_io, dh_hbm=dh_hbm)
+
+    return _vmap_collapse(call, n_row_args=2, out_batched=(True, True))
+
+
 def fused_residual_stack_bwd(g_skip, h_all, wd, wres, wskip,
                              dilation_cycle: int, chunk_l: int = 2000,
                              interpret: bool = False,
                              hbm_io: bool = False,
                              dh_hbm: bool = False):
+    """vmap-safe shim over :func:`_fused_residual_stack_bwd_jit`
+    (see :func:`_bwd_vmappable`); same signature and outputs."""
+    fn = _bwd_vmappable(dilation_cycle, chunk_l, bool(interpret),
+                        bool(hbm_io), bool(dh_hbm))
+    return fn(g_skip, h_all, wd, wres, wskip)
+
+
+@functools.partial(jax.jit, static_argnames=("dilation_cycle", "chunk_l",
+                                             "interpret", "hbm_io",
+                                             "dh_hbm"))
+def _fused_residual_stack_bwd_jit(g_skip, h_all, wd, wres, wskip,
+                                  dilation_cycle: int, chunk_l: int = 2000,
+                                  interpret: bool = False,
+                                  hbm_io: bool = False,
+                                  dh_hbm: bool = False):
     """Backward of :func:`fused_residual_stack_save_h` w.r.t. the input
     state and per-layer biases.
 

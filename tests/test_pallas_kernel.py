@@ -485,3 +485,52 @@ def test_v6_bf16_gate_default_matches_flax_bf16():
     scale = max(np.abs(want).max(), 1e-6)
     assert np.abs(got - want).max() < 0.05 * scale, (
         np.abs(got - want).max(), scale)
+
+
+def test_stack_hbm_io_vmap_folds_into_batch():
+    """A replica ``vmap`` (the EOT/NES axis) over the hbm_io /
+    chunk_loop stack must fold into the batch grid dim via the
+    ``custom_vmap`` collapse rule — Pallas TPU rejects the auto-batched
+    form of ANY-space blocks (round-5 f32 EOT bench crash).  Semantics
+    pinned against the per-replica python loop, both io modes."""
+    from audiopure_tpu.kernels.wavenet_block import fused_residual_stack
+
+    rng = jax.random.PRNGKey(11)
+    E, B, L, C, NL, cyc, Cs = 3, 2, 512, 8, 4, 2, 8
+    ks = jax.random.split(rng, 8)
+    xs = jax.random.normal(ks[0], (E, B, L, C))
+    tb = jax.random.normal(ks[1], (B, NL, C)) * 0.1
+    ws = (jax.random.normal(ks[2], (NL, 3, C, 2 * C)) * 0.3,
+          jax.random.normal(ks[3], (NL, 2 * C)) * 0.1,
+          jax.random.normal(ks[4], (NL, C, C)) * 0.3,
+          jax.random.normal(ks[5], (NL, C)) * 0.1,
+          jax.random.normal(ks[6], (NL, C, Cs)) * 0.3,
+          jax.random.normal(ks[7], (NL, Cs)) * 0.1)
+
+    for chunk_loop in (False, True):
+        def one(x):
+            return fused_residual_stack(
+                x, tb, *ws, dilation_cycle=cyc, chunk_l=128,
+                interpret=True, hbm_io=True, chunk_loop=chunk_loop)
+
+        want = jnp.stack([one(xs[i]) for i in range(E)])
+        got = jax.vmap(one)(xs)
+        assert float(jnp.abs(got - want).max()) == 0.0, chunk_loop
+
+    # per-replica t_biases too (both row args mapped)
+    tbs = jax.random.normal(jax.random.PRNGKey(12), (E, B, NL, C)) * 0.1
+    two = lambda x, t: fused_residual_stack(
+        x, t, *ws, dilation_cycle=cyc, chunk_l=128, interpret=True,
+        hbm_io=True)
+    want = jnp.stack([two(xs[i], tbs[i]) for i in range(E)])
+    got = jax.vmap(two)(xs, tbs)
+    assert float(jnp.abs(got - want).max()) == 0.0
+
+    # mapped WEIGHTS (per-replica params) take the lax.map fallback
+    wds = jnp.stack([ws[0] * (1.0 + 0.1 * i) for i in range(E)])
+    three = lambda x, wd: fused_residual_stack(
+        x, tb, wd, *ws[1:], dilation_cycle=cyc, chunk_l=128,
+        interpret=True, hbm_io=True)
+    want = jnp.stack([three(xs[i], wds[i]) for i in range(E)])
+    got = jax.vmap(three)(xs, wds)
+    assert float(jnp.abs(got - want).max()) == 0.0

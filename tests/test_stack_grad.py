@@ -239,3 +239,64 @@ def test_fullgrad_dispatch_bands():
     # interpret mode always runs the resident path
     assert fullgrad_dispatch_band(40000, 2, interpret=True)[0] \
         == "resident"
+
+
+def test_vmap_replica_axis_through_input_grad(setup):
+    """``vmap(value_and_grad(...))`` over a replica axis — the EOT
+    composition (attacks/eot.py) — through the whole-net VJP, on the
+    hbm_io layout whose in/out (and the always-ANY h_all stream) can't
+    be auto-batched by Pallas: the ``custom_vmap`` collapse rules fold
+    the replicas into the batch grid dim.  Values and grads pinned
+    against the per-replica python loop."""
+    from audiopure_tpu.kernels.wavenet_stack_grad import \
+        fused_stack_input_grad
+    from audiopure_tpu.kernels.wavenet_block import (
+        wavenet_head, wavenet_stack_inputs, wavenet_stem)
+
+    net, p, x, t, ct = setup
+    E = 2
+    xs = jnp.stack([x * (1.0 + 0.2 * i) for i in range(E)])
+
+    def loss(xx):
+        pp = p["params"]
+        emb, h = wavenet_stem(pp, xx, t, 128, jnp.float32)
+        stack_in = wavenet_stack_inputs(pp, emb, NL, jnp.float32)
+        skip = fused_stack_input_grad(h, *stack_in, 12, 400, True, True)
+        return (wavenet_head(pp, skip, NL) * ct).sum()
+
+    want_v, want_g = zip(*[jax.value_and_grad(loss)(xs[i])
+                           for i in range(E)])
+    got_v, got_g = jax.vmap(jax.value_and_grad(loss))(xs)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_g),
+                               np.asarray(jnp.stack(want_g)),
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_vmap_replica_axis_save_h(setup):
+    """Direct ``vmap`` over the save_h forward: its h_all stream is
+    memory_space=ANY in EVERY io mode, so the collapse rule must cover
+    the resident layout too."""
+    net, p, x, t, _ = setup
+    pp = p["params"]
+    from audiopure_tpu.kernels.wavenet_block import (wavenet_stack_inputs,
+                                                     wavenet_stem)
+
+    E = 2
+    xs = jnp.stack([x * (1.0 + 0.3 * i) for i in range(E)])
+
+    def fwd(xx):
+        emb, h = wavenet_stem(pp, xx, t, 128, jnp.float32)
+        stack_in = wavenet_stack_inputs(pp, emb, NL, jnp.float32)
+        return fused_residual_stack_save_h(
+            h, *stack_in, dilation_cycle=12, chunk_l=400, interpret=True)
+
+    want_skip, want_h = zip(*[fwd(xs[i]) for i in range(E)])
+    got_skip, got_h = jax.vmap(fwd)(xs)
+    np.testing.assert_allclose(np.asarray(got_skip),
+                               np.asarray(jnp.stack(want_skip)), rtol=0,
+                               atol=0)
+    np.testing.assert_allclose(np.asarray(got_h),
+                               np.asarray(jnp.stack(want_h)), rtol=0,
+                               atol=0)
