@@ -890,9 +890,13 @@ def forward_dispatch_band(L: int, itemsize: int, *, c_res: int = 256,
     chunk<=2000 and 1.22-1.25x the v4 fallback, 82.4% of bf16 peak at
     b16 — round-4i). The chunk_loop fit is measurement-gated to
     f32 / L<=16000 / chunk<=2000 at <=256 channels (chunk 4000 still
-    OOMs at 139.5M); beyond that fall all the way back to v4.  bf16
-    keeps the unrolled body everywhere it fits (chunk_loop measured
-    +1.5% at bf16 b4 — round-4i)."""
+    OOMs at 139.5M); beyond that fall all the way back to v4.  The
+    L boundary is measured on BOTH sides: fits + 1.22x v4 at L=16000
+    (round-4i), OOM 143.55M of 128M at L=24000 at every chunk size
+    (round-5a), with the v4 long-L fallback measured at 60.3-61.4% of
+    bf16 peak (L=24000/32000, round-5a).  bf16 keeps the unrolled body
+    everywhere it fits (chunk_loop measured +1.5% at bf16 b4 —
+    round-4i)."""
     if v5_vmem_est_mb(L, itemsize, c_res=c_res, skip_ch=skip_ch) \
             <= 118.0:
         return "resident", None

@@ -407,7 +407,9 @@ def test_forward_dispatch_bands():
       f32  L=16000  v5x + chunk_loop, chunk 2000 (unrolled v5x measured
                     OOM 156.7M of 128M — ~50M vreg spills; chunk_loop
                     measured fit, 82.4% of peak at b16)
-      f32  L=24000  v4 (chunk_loop fit only measured to L=16000)
+      f32  L=24000  v4 (chunk_loop measured OOM 143.55M of 128M at
+                    every chunk size, round-5a; the v4 fallback is
+                    measured at 60.3-61.4% of peak at L=24000/32000)
 
     An explicit chunk_l override opts out of the chunk_loop rescue
     (measured probes force their own configuration)."""
