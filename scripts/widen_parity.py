@@ -1,0 +1,429 @@
+"""Widened checkpoint-level robust-accuracy parity (VERDICT r4 item 6).
+
+Full-scale (36x256) converted-weight DEFENDED system — reference
+``RevVPSDE`` purify (`/root/reference/diffusion_models/diffwave_sde.py`)
+-> shared M5 classifier — attacked by the reference ``AudioAttack``
+(`/root/reference/robustness_eval/white_box_attack.py:362-470`) and by
+our jitted EOT-PGD, with IDENTICAL stochasticity: the torch loop
+consumes the noise FIFO replayed from our PRNG key tree
+(``audiopure_tpu.utils.key_replay``), so per-example success
+bookkeeping must agree and the adversarial waveforms match to float
+tolerance.
+
+Cost note (the reason for the chunked two-sided design): one full-scale
+torch purify is ~21-28 s/utt on this 1-core host and the EOT-1
+reference attack does one purify per iteration, so n=50 x 70 iters is
+~10-20 h of torch CPU — run chunk-by-chunk in the background
+(``--side torch --chunk k``), then the JAX side on the TPU in minutes
+(``--side jax``), then ``--compare`` to merge into
+docs/baseline_measured.json v2.  Partial chunk sets are still valid
+parity evidence (n = 10 x chunks completed).
+
+Modes:
+  --side torch --chunk K [--eot3]   reference side, chunk K (B=10)
+  --side jax [--eot3]               our side, all chunks present
+  --compare                         join + write baseline_measured v2
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+import types
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+REF = "/root/reference"
+STATE = os.environ.get("WIDEN_STATE", "/tmp/widen_parity")
+B_CHUNK = int(os.environ.get("WIDEN_BCHUNK", "10"))
+ITERS_OVERRIDE = os.environ.get("WIDEN_ITERS")  # smoke-test knob
+N_CLASSES = 10
+L, T, T_STAR = 16000, 200, 3
+EPS, LR = 0.02, 0.02 / 5
+
+
+def _stub(name, **attrs):
+    if name not in sys.modules:
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+
+
+def setup_reference():
+    import torch
+    _stub("torchsde")
+    _stub("torchaudio")
+    _stub("torchaudio.datasets")
+    _stub("torchaudio.datasets.utils", download_url=None,
+          extract_archive=None)
+    _stub("torchvision", datasets=None, models=None, transforms=None)
+    _stub("librosa")
+    if REF not in sys.path:
+        sys.path.append(REF)
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    torch.set_num_threads(os.cpu_count() or 1)
+
+
+def build_weights():
+    """Deterministic full-size WaveNet + M5 (converted) — both sides
+    build bit-identical weights (same recipe as
+    scripts/measure_baseline.py)."""
+    import torch
+    from diffusion_models.DiffWave_Unconditional.WaveNet import \
+        WaveNet_Speech_Commands
+    import importlib
+    ref_m5 = importlib.import_module("audio_models.M5.M5Net")
+
+    torch.manual_seed(0)
+    tnet = WaveNet_Speech_Commands(
+        in_channels=1, res_channels=256, skip_channels=256,
+        out_channels=1, num_res_layers=36, dilation_cycle=12,
+        diffusion_step_embed_dim_in=128, diffusion_step_embed_dim_mid=512,
+        diffusion_step_embed_dim_out=512).eval()
+    with torch.no_grad():
+        for p in tnet.parameters():
+            if p.numel() and bool((p == 0).all()):
+                p.normal_(0, 0.05)
+    torch.manual_seed(3)
+    tm5 = ref_m5.M5(n_input=1, n_output=N_CLASSES).eval()
+    return tnet, tm5
+
+
+def make_inputs(n):
+    """n fixed utterances (tones + noise, 10 classes round-robin) and
+    labels = the shared (undefended) torch M5's clean predictions —
+    deterministic, identical for both sides."""
+    import numpy as np
+    import torch
+
+    rng = np.random.RandomState(0)
+    t_ax = np.arange(L) / 16000.0
+    xs = []
+    for i in range(n):
+        ci = i % N_CLASSES
+        f0 = 300 + 300 * ci + 17 * (i // N_CLASSES)
+        tone = 0.3 * np.sin(2 * np.pi * f0 * t_ax)
+        xs.append(tone + 0.01 * rng.randn(L))
+    xw = np.stack(xs)[:, None, :].astype(np.float32)
+    _, tm5 = build_weights()
+    with torch.no_grad():
+        yw = tm5(torch.from_numpy(xw)).argmax(-1).numpy().astype(np.int64)
+    return xw, yw
+
+
+def chunk_key(k, eot3):
+    import jax
+    return jax.random.PRNGKey((2000 if eot3 else 1000) + k)
+
+
+def eot_cfg(eot3):
+    if eot3:
+        cfg = dict(iters=10, eot_def=3, eot_atk=3, share_eot=False)
+    else:
+        cfg = dict(iters=70, eot_def=1, eot_atk=1, share_eot=True)
+    if ITERS_OVERRIDE:
+        cfg["iters"] = int(ITERS_OVERRIDE)
+    return cfg
+
+
+def run_torch_chunk(k, eot3):
+    import numpy as np
+    import torch
+
+    import jax  # host-side key replay only
+    jax.config.update("jax_platforms", "cpu")
+
+    from audiopure_tpu.utils.key_replay import stage1_noise_fifo
+
+    setup_reference()
+    import importlib
+    wb = importlib.import_module("robustness_eval.white_box_attack")
+    from diffusion_models.DiffWave_Unconditional.util import \
+        calc_diffusion_hyperparams
+    from diffusion_models.diffwave_ddpm import DiffWave as RefDiffWave
+    from diffusion_models.diffwave_sde import RevVPSDE as RefRevVPSDE
+
+    cfg = eot_cfg(eot3)
+    tnet, tm5 = build_weights()
+    dh = calc_diffusion_hyperparams(T, 1e-4, 0.02)
+    wrapper = RefDiffWave(tnet, dh, reverse_timestep=T)
+    rsde = RefRevVPSDE(model=wrapper, score_type="guided_diffusion",
+                       beta_min=1e-4 * T, beta_max=0.02 * T, N=T,
+                       audio_shape=(1, L))
+
+    class Defended(torch.nn.Module):
+        """Reference purify (explicit Euler; eps-net stop-grad via the
+        reference's own no_grad on compute_eps_t) -> M5.  randn_like is
+        FIFO-patched below."""
+
+        def forward(self, x):
+            b = x.shape[0]
+            e = torch.randn_like(x)
+            abar = (1 - rsde.discrete_betas).cumprod(dim=0)
+            xt = (x * abar[T_STAR - 1].sqrt()
+                  + e * (1.0 - abar[T_STAR - 1]).sqrt())
+            dt = 1.0 / T
+            t0 = 1.0 - T_STAR / T - 1e-5
+            xf = xt.reshape(b, -1)
+            for j in range(T_STAR):
+                tau = torch.tensor(t0 + j * dt, dtype=torch.float32)
+                z = torch.randn_like(x).reshape(b, -1)
+                xf = (xf + rsde.f(tau, xf) * dt
+                      + rsde.g(tau, xf) * float(np.sqrt(dt)) * z)
+            return tm5(xf.reshape(b, 1, L))
+
+    xw, yw = make_inputs(50)
+    if eot3:
+        nb = min(5, B_CHUNK)
+        xs, ys = xw[:nb], yw[:nb]
+    else:
+        xs = xw[k * B_CHUNK:(k + 1) * B_CHUNK]
+        ys = yw[k * B_CHUNK:(k + 1) * B_CHUNK]
+    key = chunk_key(k, eot3)
+    # the jitted side runs the whole chunk as ONE batch keyed `key`;
+    # replay its (B, 1, L) draws once, then attack per-utt with the
+    # [i:i+1] slices — exactly equivalent (no early exit in stage_1,
+    # per-example delta updates, sign(grad) is batch-size invariant
+    # under the mean-reduction criterion) and measured 1.45x faster on
+    # this 1-core host than the batched torch loop (cache-bound convs)
+    fifo = [arr for call in stage1_noise_fifo(
+        key, xs.shape, T_STAR, max_iter_1=cfg["iters"],
+        eot_defense_size=cfg["eot_def"], eot_attack_size=cfg["eot_atk"],
+        share_eot=cfg["share_eot"]) for arr in call]
+    tag = "eot3" if eot3 else "eot1"
+
+    atk = wb.AudioAttack(model=Defended(), eps=EPS, norm="linf",
+                         learning_rate_1=LR, max_iter_1=cfg["iters"],
+                         max_iter_2=0, eot_attack_size=cfg["eot_atk"],
+                         eot_defense_size=cfg["eot_def"], verbose=0)
+    for i in range(xs.shape[0]):
+        out = f"{STATE}_torch_{tag}_chunk{k}_utt{i}.npz"
+        if os.path.exists(out):
+            continue
+        it = iter([arr[i:i + 1] for arr in fifo])
+
+        def fake_randn_like(xx, **kw):
+            z = torch.from_numpy(np.asarray(next(it)))
+            assert z.numel() == xx.numel(), (z.shape, xx.shape)
+            return z.reshape(xx.shape)
+
+        torch.randn_like = fake_randn_like
+        t0 = time.time()
+        x_adv, (succ, _) = atk.generate(
+            torch.from_numpy(xs[i:i + 1]),
+            torch.from_numpy(ys[i:i + 1]), targeted=False)
+        wall = time.time() - t0
+        np.savez(out, x_adv=x_adv.detach().numpy(),
+                 succ=np.asarray(succ, dtype=bool), y=ys[i:i + 1],
+                 wall_s=wall)
+        print(f"torch {tag} chunk {k} utt {i}: wall {wall:.0f}s "
+              f"succ={bool(succ[0])}", flush=True)
+
+
+def run_jax(eot3):
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    setup_reference()  # for weight building only
+    from audiopure_tpu.attacks import AudioAttack
+    from audiopure_tpu.diffusion.vpsde import RevDiffWave
+    from audiopure_tpu.models.m5 import M5
+    from audiopure_tpu.models.wavenet import WaveNet
+    from audiopure_tpu.utils.torch_convert import (convert_diffwave,
+                                                   convert_m5)
+
+    if os.environ.get("WIDEN_CPU") == "1":  # smoke-test runs off-chip
+        jax.config.update("jax_platforms", "cpu")
+    # full-f32 conv passes on the MXU: the parity contract is sign-level
+    # gradient agreement with the torch f32 reference (linf PGD updates
+    # quantize to sign(grad); the CPU smoke run is bit-identical)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_tpu_cache")
+    except Exception:
+        pass
+    print("devices:", jax.devices(), flush=True)
+
+    cfg = eot_cfg(eot3)
+    tnet, tm5 = build_weights()
+    params = convert_diffwave(tnet.state_dict(), num_res_layers=36)
+    m5_vars = convert_m5(tm5.state_dict())
+    jnet = WaveNet()
+    jm5 = M5(n_output=N_CLASSES)
+
+    # f32 XLA convs: the parity contract is float-level agreement with
+    # the torch f32 reference; the Pallas kernels' bf16-multiply MXU
+    # convention (~1e-3) could flip borderline success decisions
+    rd = RevDiffWave(lambda xx, ss: jnet.apply(params, xx, ss),
+                     T=T, t=T_STAR, remat=False)
+
+    def jfn(x, key):
+        pur = rd(x, key)
+        return jm5.apply(m5_vars, pur)
+
+    xw, yw = make_inputs(50)
+    tag = "eot3" if eot3 else "eot1"
+    atk = AudioAttack(jfn, eps=EPS, norm="linf", learning_rate_1=LR,
+                      max_iter_1=cfg["iters"], max_iter_2=0,
+                      eot_attack_size=cfg["eot_atk"],
+                      eot_defense_size=cfg["eot_def"],
+                      share_eot=cfg["share_eot"], segment_iters=10)
+    for k in range(1 if eot3 else 5):
+        out = f"{STATE}_jax_{tag}_chunk{k}.npz"
+        if os.path.exists(out):
+            continue
+        if eot3:
+            nb = min(5, B_CHUNK)
+            xs, ys = jnp.asarray(xw[:nb]), jnp.asarray(yw[:nb])
+        else:
+            xs = jnp.asarray(xw[k * B_CHUNK:(k + 1) * B_CHUNK])
+            ys = jnp.asarray(yw[k * B_CHUNK:(k + 1) * B_CHUNK])
+        t0 = time.time()
+        x_adv, succ = atk.generate(xs, ys, chunk_key(k, eot3))
+        if isinstance(succ, tuple):
+            succ = succ[0]
+        wall = time.time() - t0
+        np.savez(out, x_adv=np.asarray(x_adv),
+                 succ=np.asarray(succ, dtype=bool),
+                 y=np.asarray(ys), wall_s=wall)
+        print(f"jax {tag} chunk {k}: wall {wall:.0f}s "
+              f"succ={list(np.asarray(succ))}", flush=True)
+
+
+def run_undefended():
+    """The literal n>=50 x 70-iter widening on the attack-LOOP agreement
+    axis: deterministic EOT-1 PGD on the shared (converted) M5 with NO
+    defense — both sides on CPU in minutes (the full-scale defended
+    rows above are bounded by the ~21-28 s/utt torch purify instead)."""
+    import numpy as np
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_platforms", "cpu")
+
+    setup_reference()
+    import importlib
+    wb = importlib.import_module("robustness_eval.white_box_attack")
+    from audiopure_tpu.attacks import AudioAttack
+    from audiopure_tpu.models.m5 import M5
+    from audiopure_tpu.utils.torch_convert import convert_m5
+
+    _, tm5 = build_weights()
+    m5_vars = convert_m5(tm5.state_dict())
+    jm5 = M5(n_output=N_CLASSES)
+
+    n, iters = 100, 70
+    xw, yw = make_inputs(n)
+    t0 = time.time()
+    ratk = wb.AudioAttack(model=tm5, eps=EPS, norm="linf",
+                          learning_rate_1=LR, max_iter_1=iters,
+                          max_iter_2=0, eot_attack_size=1,
+                          eot_defense_size=1, verbose=0)
+    x_adv_t, (succ_t, _) = ratk.generate(torch.from_numpy(xw),
+                                         torch.from_numpy(yw),
+                                         targeted=False)
+    torch_s = time.time() - t0
+    jatk = AudioAttack(lambda xx, kk: jm5.apply(m5_vars, xx), eps=EPS,
+                       norm="linf", learning_rate_1=LR, max_iter_1=iters)
+    t0 = time.time()
+    x_adv_j, succ_j = jatk.generate(jnp.asarray(xw), jnp.asarray(yw),
+                                    jax.random.PRNGKey(0))
+    if isinstance(succ_j, tuple):
+        succ_j = succ_j[0]
+    jax_s = time.time() - t0
+    st = np.asarray(succ_t, dtype=bool)
+    sj = np.asarray(succ_j, dtype=bool)
+    row = dict(
+        pgd_eps=EPS, pgd_iters=iters, n_examples=n,
+        reference_robust_acc=round(1.0 - float(st.mean()), 4),
+        our_robust_acc=round(1.0 - float(sj.mean()), 4),
+        per_example_agreement=round(float((st == sj).mean()), 4),
+        agree=bool(np.array_equal(st, sj)),
+        x_adv_max_abs_diff=float(np.max(np.abs(
+            x_adv_t.detach().numpy() - np.asarray(x_adv_j)))),
+        defended=False, model="M5 (converted, undefended)",
+        torch_wall_s=round(torch_s, 1), jax_wall_s=round(jax_s, 1))
+    with open(f"{STATE}_undefended.json", "w") as f:
+        json.dump(row, f, indent=2)
+    print(json.dumps(row, indent=2))
+
+
+def compare():
+    import numpy as np
+
+    rows = {}
+    for tag in ("eot1", "eot3"):
+        cfg = eot_cfg(tag == "eot3")
+        succ_t, succ_j, diffs, n = [], [], [], 0
+        for k in range(5):
+            fj = f"{STATE}_jax_{tag}_chunk{k}.npz"
+            if not os.path.exists(fj):
+                continue
+            dj = np.load(fj)
+            nb = min(5, B_CHUNK) if tag == "eot3" else B_CHUNK
+            utts = [f"{STATE}_torch_{tag}_chunk{k}_utt{i}.npz"
+                    for i in range(nb)]
+            for i, ft in enumerate(utts):
+                if not os.path.exists(ft):
+                    continue
+                dt_ = np.load(ft)
+                assert np.array_equal(dt_["y"], dj["y"][i:i + 1])
+                succ_t.extend(dt_["succ"].tolist())
+                succ_j.append(bool(dj["succ"][i]))
+                diffs.append(float(np.max(np.abs(
+                    dt_["x_adv"] - dj["x_adv"][i:i + 1]))))
+                n += 1
+        if not n:
+            continue
+        st, sj = np.asarray(succ_t), np.asarray(succ_j)
+        rows[tag] = dict(
+            pgd_eps=EPS, pgd_iters=cfg["iters"],
+            eot_defense_size=cfg["eot_def"],
+            eot_attack_size=cfg["eot_atk"],
+            share_eot=cfg["share_eot"], n_examples=n,
+            reference_robust_acc=round(1.0 - float(st.mean()), 4),
+            our_robust_acc=round(1.0 - float(sj.mean()), 4),
+            per_example_agreement=round(float((st == sj).mean()), 4),
+            agree=bool(np.array_equal(st, sj)),
+            x_adv_max_abs_diff=max(diffs),
+            defended=True, model="DiffWave 36x256 + M5 (converted)")
+        print(tag, json.dumps(rows[tag], indent=1))
+
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "baseline_measured.json")
+    with open(out) as f:
+        doc = json.load(f)
+    doc["robust_acc_parity_defended_v2"] = rows
+    und = f"{STATE}_undefended.json"
+    if os.path.exists(und):
+        with open(und) as f:
+            doc["robust_acc_parity_undefended_v2"] = json.load(f)
+    with open(out, "w") as f:
+        json.dump(doc, f, indent=2)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--side", choices=["torch", "jax"])
+    ap.add_argument("--chunk", type=int, default=0)
+    ap.add_argument("--eot3", action="store_true")
+    ap.add_argument("--undefended", action="store_true")
+    ap.add_argument("--compare", action="store_true")
+    a = ap.parse_args()
+    if a.compare:
+        compare()
+    elif a.undefended:
+        run_undefended()
+    elif a.side == "torch":
+        run_torch_chunk(a.chunk, a.eot3)
+    elif a.side == "jax":
+        run_jax(a.eot3)
