@@ -74,6 +74,12 @@ def ref():
 
     _stub_module("torchsde", sdeint_adjoint=_euler_sdeint,
                  sdeint=_euler_sdeint, BrownianInterval=None)
+    # another test module may have installed a bare torchsde stub first
+    # (test_ref_attack_parity runs earlier alphabetically and never calls
+    # the solver) — force the working fixed-step Euler onto whatever
+    # stub is present, or the spec-SDE goldens call None
+    sys.modules["torchsde"].sdeint_adjoint = _euler_sdeint
+    sys.modules["torchsde"].sdeint = _euler_sdeint
     _stub_module("torchaudio")
     _stub_module("torchaudio.datasets")
     _stub_module("torchaudio.datasets.utils",
