@@ -301,7 +301,10 @@ def run_undefended():
     """The literal n>=50 x 70-iter widening on the attack-LOOP agreement
     axis: deterministic EOT-1 PGD on the shared (converted) M5 with NO
     defense — both sides on CPU in minutes (the full-scale defended
-    rows above are bounded by the ~21-28 s/utt torch purify instead)."""
+    rows above are bounded by the ~21-28 s/utt torch purify instead).
+    Swept over eps so at least one row lands in the mixed-outcome
+    regime (some flips, some survivors) — the all-robust rows pin the
+    loop only, the mixed row pins per-example OUTCOMES."""
     import numpy as np
     import torch
 
@@ -322,38 +325,46 @@ def run_undefended():
 
     n, iters = 100, 70
     xw, yw = make_inputs(n)
-    t0 = time.time()
-    ratk = wb.AudioAttack(model=tm5, eps=EPS, norm="linf",
-                          learning_rate_1=LR, max_iter_1=iters,
-                          max_iter_2=0, eot_attack_size=1,
-                          eot_defense_size=1, verbose=0)
-    x_adv_t, (succ_t, _) = ratk.generate(torch.from_numpy(xw),
-                                         torch.from_numpy(yw),
-                                         targeted=False)
-    torch_s = time.time() - t0
-    jatk = AudioAttack(lambda xx, kk: jm5.apply(m5_vars, xx), eps=EPS,
-                       norm="linf", learning_rate_1=LR, max_iter_1=iters)
-    t0 = time.time()
-    x_adv_j, succ_j = jatk.generate(jnp.asarray(xw), jnp.asarray(yw),
-                                    jax.random.PRNGKey(0))
-    if isinstance(succ_j, tuple):
-        succ_j = succ_j[0]
-    jax_s = time.time() - t0
-    st = np.asarray(succ_t, dtype=bool)
-    sj = np.asarray(succ_j, dtype=bool)
-    row = dict(
-        pgd_eps=EPS, pgd_iters=iters, n_examples=n,
-        reference_robust_acc=round(1.0 - float(st.mean()), 4),
-        our_robust_acc=round(1.0 - float(sj.mean()), 4),
-        per_example_agreement=round(float((st == sj).mean()), 4),
-        agree=bool(np.array_equal(st, sj)),
-        x_adv_max_abs_diff=float(np.max(np.abs(
-            x_adv_t.detach().numpy() - np.asarray(x_adv_j)))),
-        defended=False, model="M5 (converted, undefended)",
-        torch_wall_s=round(torch_s, 1), jax_wall_s=round(jax_s, 1))
+    rows = []
+    for eps in (0.02, 0.05, 0.1, 0.2):
+        lr = eps / 5
+        t0 = time.time()
+        ratk = wb.AudioAttack(model=tm5, eps=eps, norm="linf",
+                              learning_rate_1=lr, max_iter_1=iters,
+                              max_iter_2=0, eot_attack_size=1,
+                              eot_defense_size=1, verbose=0)
+        x_adv_t, (succ_t, _) = ratk.generate(torch.from_numpy(xw),
+                                             torch.from_numpy(yw),
+                                             targeted=False)
+        torch_s = time.time() - t0
+        jatk = AudioAttack(lambda xx, kk: jm5.apply(m5_vars, xx),
+                           eps=eps, norm="linf", learning_rate_1=lr,
+                           max_iter_1=iters)
+        t0 = time.time()
+        x_adv_j, succ_j = jatk.generate(jnp.asarray(xw),
+                                        jnp.asarray(yw),
+                                        jax.random.PRNGKey(0))
+        if isinstance(succ_j, tuple):
+            succ_j = succ_j[0]
+        jax_s = time.time() - t0
+        st = np.asarray(succ_t, dtype=bool)
+        sj = np.asarray(succ_j, dtype=bool)
+        row = dict(
+            pgd_eps=eps, pgd_iters=iters, n_examples=n,
+            reference_robust_acc=round(1.0 - float(st.mean()), 4),
+            our_robust_acc=round(1.0 - float(sj.mean()), 4),
+            n_flipped_reference=int(st.sum()),
+            n_flipped_ours=int(sj.sum()),
+            per_example_agreement=round(float((st == sj).mean()), 4),
+            agree=bool(np.array_equal(st, sj)),
+            x_adv_max_abs_diff=float(np.max(np.abs(
+                x_adv_t.detach().numpy() - np.asarray(x_adv_j)))),
+            defended=False, model="M5 (converted, undefended)",
+            torch_wall_s=round(torch_s, 1), jax_wall_s=round(jax_s, 1))
+        rows.append(row)
+        print(json.dumps(row), flush=True)
     with open(f"{STATE}_undefended.json", "w") as f:
-        json.dump(row, f, indent=2)
-    print(json.dumps(row, indent=2))
+        json.dump(rows, f, indent=2)
 
 
 def compare():
