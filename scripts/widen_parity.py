@@ -42,6 +42,12 @@ ITERS_OVERRIDE = os.environ.get("WIDEN_ITERS")  # smoke-test knob
 N_CLASSES = 10
 L, T, T_STAR = 16000, 200, 3
 EPS, LR = 0.02, 0.02 / 5
+# Per-chunk eps for the defended EOT-1 rows: chunk 0 runs in the
+# mixed-outcome regime (eps=0.1 flips 97/100 on the undefended sweep)
+# so per-example agreement is outcome-level evidence, not
+# all-robust-by-construction (VERDICT r4 weak #6); later chunks cover
+# the headline eps and the rest of the sweep as torch-CPU hours allow.
+EPS_BY_CHUNK = {0: 0.1, 1: 0.02, 2: 0.05, 3: 0.1, 4: 0.2}
 
 
 def _stub(name, **attrs):
@@ -195,9 +201,10 @@ def run_torch_chunk(k, eot3):
         eot_defense_size=cfg["eot_def"], eot_attack_size=cfg["eot_atk"],
         share_eot=cfg["share_eot"]) for arr in call]
     tag = "eot3" if eot3 else "eot1"
+    eps = EPS if eot3 else EPS_BY_CHUNK[k]
 
-    atk = wb.AudioAttack(model=Defended(), eps=EPS, norm="linf",
-                         learning_rate_1=LR, max_iter_1=cfg["iters"],
+    atk = wb.AudioAttack(model=Defended(), eps=eps, norm="linf",
+                         learning_rate_1=eps / 5, max_iter_1=cfg["iters"],
                          max_iter_2=0, eot_attack_size=cfg["eot_atk"],
                          eot_defense_size=cfg["eot_def"], verbose=0)
     for i in range(xs.shape[0]):
@@ -270,12 +277,14 @@ def run_jax(eot3):
 
     xw, yw = make_inputs(50)
     tag = "eot3" if eot3 else "eot1"
-    atk = AudioAttack(jfn, eps=EPS, norm="linf", learning_rate_1=LR,
-                      max_iter_1=cfg["iters"], max_iter_2=0,
-                      eot_attack_size=cfg["eot_atk"],
-                      eot_defense_size=cfg["eot_def"],
-                      share_eot=cfg["share_eot"], segment_iters=10)
     for k in range(1 if eot3 else 5):
+        eps = EPS if eot3 else EPS_BY_CHUNK[k]
+        atk = AudioAttack(jfn, eps=eps, norm="linf",
+                          learning_rate_1=eps / 5,
+                          max_iter_1=cfg["iters"], max_iter_2=0,
+                          eot_attack_size=cfg["eot_atk"],
+                          eot_defense_size=cfg["eot_def"],
+                          share_eot=cfg["share_eot"], segment_iters=10)
         out = f"{STATE}_jax_{tag}_chunk{k}.npz"
         if os.path.exists(out):
             continue
@@ -373,16 +382,16 @@ def compare():
     rows = {}
     for tag in ("eot1", "eot3"):
         cfg = eot_cfg(tag == "eot3")
-        succ_t, succ_j, diffs, n = [], [], [], 0
+        chunk_rows = []
         for k in range(5):
             fj = f"{STATE}_jax_{tag}_chunk{k}.npz"
             if not os.path.exists(fj):
                 continue
             dj = np.load(fj)
             nb = min(5, B_CHUNK) if tag == "eot3" else B_CHUNK
-            utts = [f"{STATE}_torch_{tag}_chunk{k}_utt{i}.npz"
-                    for i in range(nb)]
-            for i, ft in enumerate(utts):
+            succ_t, succ_j, diffs, n = [], [], [], 0
+            for i in range(nb):
+                ft = f"{STATE}_torch_{tag}_chunk{k}_utt{i}.npz"
                 if not os.path.exists(ft):
                     continue
                 dt_ = np.load(ft)
@@ -392,20 +401,28 @@ def compare():
                 diffs.append(float(np.max(np.abs(
                     dt_["x_adv"] - dj["x_adv"][i:i + 1]))))
                 n += 1
-        if not n:
+            if not n:
+                continue
+            st, sj = np.asarray(succ_t), np.asarray(succ_j)
+            chunk_rows.append(dict(
+                chunk=k,
+                pgd_eps=EPS if tag == "eot3" else EPS_BY_CHUNK[k],
+                pgd_iters=cfg["iters"],
+                eot_defense_size=cfg["eot_def"],
+                eot_attack_size=cfg["eot_atk"],
+                share_eot=cfg["share_eot"], n_examples=n,
+                reference_robust_acc=round(1.0 - float(st.mean()), 4),
+                our_robust_acc=round(1.0 - float(sj.mean()), 4),
+                n_flipped_reference=int(st.sum()),
+                n_flipped_ours=int(sj.sum()),
+                per_example_agreement=round(float((st == sj).mean()), 4),
+                agree=bool(np.array_equal(st, sj)),
+                x_adv_max_abs_diff=max(diffs),
+                defended=True,
+                model="DiffWave 36x256 + M5 (converted)"))
+        if not chunk_rows:
             continue
-        st, sj = np.asarray(succ_t), np.asarray(succ_j)
-        rows[tag] = dict(
-            pgd_eps=EPS, pgd_iters=cfg["iters"],
-            eot_defense_size=cfg["eot_def"],
-            eot_attack_size=cfg["eot_atk"],
-            share_eot=cfg["share_eot"], n_examples=n,
-            reference_robust_acc=round(1.0 - float(st.mean()), 4),
-            our_robust_acc=round(1.0 - float(sj.mean()), 4),
-            per_example_agreement=round(float((st == sj).mean()), 4),
-            agree=bool(np.array_equal(st, sj)),
-            x_adv_max_abs_diff=max(diffs),
-            defended=True, model="DiffWave 36x256 + M5 (converted)")
+        rows[tag] = chunk_rows if tag == "eot1" else chunk_rows[0]
         print(tag, json.dumps(rows[tag], indent=1))
 
     out = os.path.join(os.path.dirname(os.path.dirname(
