@@ -546,7 +546,7 @@ def _vmap_collapse(fn, n_row_args, out_batched=True):
 
 @functools.lru_cache(maxsize=None)
 def _hbm_stack_vmappable(dilation_cycle, chunk_l, interpret,
-                         gate_dtype_key, chunk_loop):
+                         gate_dtype_key, chunk_loop, w_hbm=False):
     """Per-static-config ``custom_vmap`` wrapper for the hbm_io forward
     stack (cached so repeated traces reuse one rule)."""
     gate_dtype = None if gate_dtype_key is None else jnp.dtype(
@@ -557,7 +557,7 @@ def _hbm_stack_vmappable(dilation_cycle, chunk_l, interpret,
             x, t_biases, wd, bd, wres, bres, wskip, bskip,
             dilation_cycle=dilation_cycle, chunk_l=chunk_l,
             interpret=interpret, gate_dtype=gate_dtype, hbm_io=True,
-            chunk_loop=chunk_loop)
+            chunk_loop=chunk_loop, w_hbm=w_hbm)
 
     return _vmap_collapse(call, n_row_args=2)
 
@@ -565,13 +565,15 @@ def _hbm_stack_vmappable(dilation_cycle, chunk_l, interpret,
 def fused_residual_stack(x, t_biases, wd, bd, wres, bres, wskip, bskip,
                          dilation_cycle: int, chunk_l: int = 2000,
                          interpret: bool = False, gate_dtype=None,
-                         hbm_io: bool = False, chunk_loop: bool = False):
+                         hbm_io: bool = False, chunk_loop: bool = False,
+                         w_hbm: bool = False):
     """Dispatch shim over :func:`_fused_residual_stack_jit`: the hbm_io
     variants (memory_space=ANY in/out) go through a ``custom_vmap``
     collapse rule so an EOT/NES replica ``vmap`` folds into the batch
     grid dim instead of hitting the Pallas ANY-space batching
     restriction."""
     if not hbm_io:
+        assert not w_hbm, "w_hbm requires hbm_io"
         return _fused_residual_stack_jit(
             x, t_biases, wd, bd, wres, bres, wskip, bskip,
             dilation_cycle=dilation_cycle, chunk_l=chunk_l,
@@ -579,13 +581,14 @@ def fused_residual_stack(x, t_biases, wd, bd, wres, bres, wskip, bskip,
             chunk_loop=chunk_loop)
     key = None if gate_dtype is None else jnp.dtype(gate_dtype).name
     fn = _hbm_stack_vmappable(dilation_cycle, chunk_l, bool(interpret),
-                              key, bool(chunk_loop))
+                              key, bool(chunk_loop), bool(w_hbm))
     return fn(x, t_biases, wd, bd, wres, bres, wskip, bskip)
 
 
 @functools.partial(jax.jit, static_argnames=("dilation_cycle", "chunk_l",
                                              "interpret", "gate_dtype",
-                                             "hbm_io", "chunk_loop"))
+                                             "hbm_io", "chunk_loop",
+                                             "w_hbm"))
 def _fused_residual_stack_jit(
     x: jnp.ndarray,          # (B, L, C) hidden state after init_conv
     t_biases: jnp.ndarray,   # (B, NL, C) per-layer timestep biases
@@ -601,6 +604,7 @@ def _fused_residual_stack_jit(
     gate_dtype=None,
     hbm_io: bool = False,
     chunk_loop: bool = False,
+    w_hbm: bool = False,
 ) -> jnp.ndarray:
     """ALL residual layers in ONE kernel — the (L, C) state never leaves
     VMEM (v5).
@@ -639,6 +643,7 @@ def _fused_residual_stack_jit(
     dtype = x.dtype
     assert NL % dilation_cycle == 0, (NL, dilation_cycle)
     assert L % chunk_l == 0, (L, chunk_l)
+    assert not w_hbm or hbm_io, "w_hbm streams weights; requires hbm_io"
     if chunk_loop:
         # dynamic slice starts must be provably sublane-aligned (Mosaic
         # rejects unprovable dynamic offsets); i*chunk_l carries the
@@ -662,11 +667,29 @@ def _fused_residual_stack_jit(
                             memory_space=pltpu.VMEM)
 
     def kernel(x_ref, tb_ref, wd_ref, bd_ref, wres_ref, bres_ref,
-               wsk_ref, bsk_ref, out_ref, xa, xb, skip, *dma_sems):
+               wsk_ref, bsk_ref, out_ref, xa, xb, skip, *rest):
         c = pl.program_id(1)
         # hoisted: program_id is not lowerable inside pl.when's cond body
         # on the interpret path
         b = pl.program_id(0) if hbm_io else None
+        if w_hbm:
+            (wd_s, wres_s, wsk_s, bd_s, bres_s, bsk_s,
+             sem_in, sem_out, bias_sem, *w_sems) = rest
+            dma_sems = (sem_in, sem_out)
+            get_wd = lambda j, k: wd_s[j % 2, k]
+            get_bd = lambda j: bd_s[j]
+            get_wres = lambda j: wres_s[j % 2]
+            get_bres = lambda j: bres_s[j]
+            get_wsk = lambda j: wsk_s[j % 2]
+            get_bsk = lambda j: bsk_s[j]
+        else:
+            dma_sems = rest
+            get_wd = lambda j, k: wd_ref[j, k]
+            get_bd = lambda j: bd_ref[0, j]
+            get_wres = lambda j: wres_ref[j]
+            get_bres = lambda j: bres_ref[0, j]
+            get_wsk = lambda j: wsk_ref[j]
+            get_bsk = lambda j: bsk_ref[0, j]
 
         @pl.when(c == 0)
         def _init():
@@ -683,9 +706,42 @@ def _fused_residual_stack_jit(
                 xa[margin: margin + L] = x_ref[0]
             skip[:] = jnp.zeros((L, skip_ch), dtype)
 
+        if w_hbm:
+            # per-cycle bias slabs (~50 KB total): blocking copies
+            for src, dst in ((bd_ref.at[c], bd_s), (bres_ref.at[c], bres_s),
+                             (bsk_ref.at[c], bsk_s)):
+                cp = pltpu.make_async_copy(src, dst, bias_sem)
+                cp.start()
+                cp.wait()
+
+            def start_w(j, slot):
+                """Kick the three layer-j weight DMAs into ``slot``;
+                returns the copy handles for a later wait."""
+                layer = c * cyc + j
+                cps = [pltpu.make_async_copy(wd_ref.at[layer],
+                                             wd_s.at[slot], w_sems[slot]),
+                       pltpu.make_async_copy(wres_ref.at[layer],
+                                             wres_s.at[slot],
+                                             w_sems[2 + slot]),
+                       pltpu.make_async_copy(wsk_ref.at[layer],
+                                             wsk_s.at[slot],
+                                             w_sems[4 + slot])]
+                for cp in cps:
+                    cp.start()
+                return cps
+
+            pending = start_w(0, 0)
+
         for j in range(cyc):
             d = 2 ** j
             cur, nxt = (xa, xb) if j % 2 == 0 else (xb, xa)
+            if w_hbm:
+                # land layer j's weights, then prefetch j+1 into the
+                # other slot while j computes (2-slot rotation)
+                for cp in pending:
+                    cp.wait()
+                if j + 1 < cyc:
+                    pending = start_w(j + 1, (j + 1) % 2)
             bias = tb_ref[0, 0, j].astype(dtype)
 
             def one_chunk(s, dynamic, cur=cur, nxt=nxt, bias=bias, j=j,
@@ -729,9 +785,9 @@ def _fused_residual_stack_jit(
                                               jnp.zeros((), dtype)))
                 h = jnp.zeros((chunk_l, C2), dtype=jnp.float32)
                 for k in range(3):
-                    h = h + jnp.dot(taps[k], wd_ref[j, k],
+                    h = h + jnp.dot(taps[k], get_wd(j, k),
                                     preferred_element_type=jnp.float32)
-                h = h + bd_ref[0, j].astype(jnp.float32)[None, :]
+                h = h + get_bd(j).astype(jnp.float32)[None, :]
                 # gate_dtype=bf16 trades ~input-rounding error in the
                 # transcendentals for VPU throughput (perf experiment
                 # knob; None = f32, the parity default). sigmoid is
@@ -745,19 +801,19 @@ def _fused_residual_stack_jit(
                     sig = jnp.tanh(hg[:, C:] * gate_dtype(0.5)) \
                         * gate_dtype(0.5) + gate_dtype(0.5)
                     gate = (jnp.tanh(hg[:, :C]) * sig).astype(dtype)
-                res = jnp.dot(gate, wres_ref[j],
+                res = jnp.dot(gate, get_wres(j),
                               preferred_element_type=jnp.float32)
                 nxt_val = ((taps[1].astype(jnp.float32) + res
-                            + bres_ref[0, j].astype(jnp.float32)[None, :])
+                            + get_bres(j).astype(jnp.float32)[None, :])
                            * SQRT_HALF).astype(dtype)
                 # skip rides bf16 like the v3/v4 HBM accumulator (each
                 # layer's contribution still f32-accumulated in the dot)
                 sk_prev = (skip[pl.ds(s, chunk_l)] if dynamic
                            else skip[s: s + chunk_l])
                 sk_val = (sk_prev.astype(jnp.float32)
-                          + jnp.dot(gate, wsk_ref[j],
+                          + jnp.dot(gate, get_wsk(j),
                                     preferred_element_type=jnp.float32)
-                          + bsk_ref[0, j].astype(jnp.float32)[None, :]
+                          + get_bsk(j).astype(jnp.float32)[None, :]
                           ).astype(dtype)
                 if dynamic:
                     nxt[pl.ds(margin + s, chunk_l)] = nxt_val
@@ -804,6 +860,27 @@ def _fused_residual_stack_jit(
         out_spec = pl.BlockSpec((1, L, skip_ch), lambda b, c: (b, 0, 0))
         sem_scratch = []
 
+    if w_hbm:
+        # weights stay in HBM (ANY) and stream through 2-slot VMEM
+        # scratch: ~4 MB resident instead of the ~2x13 MB (bf16) /
+        # ~2x25 MB (f32) double-buffered cycle windows — what rescues
+        # the f32 long-L fit (round-5b)
+        any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        weight_specs = [any_spec] * 6
+        w_scratch = [
+            pltpu.VMEM((2, 3, C, C2), wd.dtype),        # wd slots
+            pltpu.VMEM((2, C, C), wres.dtype),          # wres slots
+            pltpu.VMEM((2, C, skip_ch), wskip.dtype),   # wskip slots
+            pltpu.VMEM((cyc, C2), bd.dtype),            # cycle bd
+            pltpu.VMEM((cyc, C), bres.dtype),           # cycle bres
+            pltpu.VMEM((cyc, skip_ch), bskip.dtype),    # cycle bskip
+        ]
+        sem_scratch = sem_scratch + [pltpu.SemaphoreType.DMA] * 7
+    else:
+        weight_specs = [wspec(3, C, C2), bspec(C2), wspec(C, C),
+                        bspec(C), wspec(C, skip_ch), bspec(skip_ch)]
+        w_scratch = []
+
     skip_out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -812,8 +889,7 @@ def _fused_residual_stack_jit(
             # (B, n_cycles, cyc, C): the Mosaic block-shape rule needs the
             # last two block dims to equal the array dims
             pl.BlockSpec((1, 1, cyc, C), lambda b, c: (b, c, 0, 0)),
-            wspec(3, C, C2), bspec(C2), wspec(C, C), bspec(C),
-            wspec(C, skip_ch), bspec(skip_ch),
+            *weight_specs,
         ],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, L, skip_ch), dtype),
@@ -821,6 +897,7 @@ def _fused_residual_stack_jit(
             pltpu.VMEM((rows, C), dtype),           # xa
             pltpu.VMEM((rows, C), dtype),           # xb
             pltpu.VMEM((L, skip_ch), dtype),        # skip accumulator
+            *w_scratch,
             *sem_scratch,
         ],
         compiler_params=pltpu.CompilerParams(

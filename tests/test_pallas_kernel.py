@@ -536,3 +536,71 @@ def test_stack_hbm_io_vmap_folds_into_batch():
     want = jnp.stack([three(xs[i], wds[i]) for i in range(E)])
     got = jax.vmap(three)(xs, wds)
     assert float(jnp.abs(got - want).max()) == 0.0
+
+
+def test_stack_w_hbm_bit_matches_resident_weights():
+    """w_hbm=True (weights stay in HBM and stream through 2-slot VMEM
+    scratch with per-layer prefetched DMAs, per-cycle bias slabs) is
+    pure data movement — BIT-identical to the VMEM-window path on both
+    chunk modes and at f32 (the dtype the mode exists for: the f32
+    double-buffered cycle windows are ~50 MB of the measured 143.55M
+    OOM at L=24000, round-5b)."""
+    from audiopure_tpu.kernels.wavenet_block import fused_residual_stack
+
+    rng = jax.random.PRNGKey(7)
+    B, L, C, NL, cyc, Cs = 2, 512, 8, 4, 2, 8
+    ks = jax.random.split(rng, 8)
+    for dt in (jnp.float32, jnp.bfloat16):
+        args = (jax.random.normal(ks[0], (B, L, C), dt),
+                jax.random.normal(ks[1], (B, NL, C), dt) * 0.1,
+                jax.random.normal(ks[2], (NL, 3, C, 2 * C), dt) * 0.3,
+                jax.random.normal(ks[3], (NL, 2 * C)) * 0.1,
+                jax.random.normal(ks[4], (NL, C, C), dt) * 0.3,
+                jax.random.normal(ks[5], (NL, C)) * 0.1,
+                jax.random.normal(ks[6], (NL, C, Cs), dt) * 0.3,
+                jax.random.normal(ks[7], (NL, Cs)) * 0.1)
+        # like-for-like twin at the SAME chunk mode: bf16 chunk_loop
+        # differs from the unrolled body by CPU-interpret bf16 double
+        # rounding (pre-existing, never dispatched — bf16 keeps the
+        # unrolled body), so the data-movement claim is pinned against
+        # the matching non-w_hbm config, not across chunk modes
+        for chunk_loop in (False, True):
+            base = fused_residual_stack(*args, dilation_cycle=cyc,
+                                        chunk_l=128, interpret=True,
+                                        hbm_io=True,
+                                        chunk_loop=chunk_loop)
+            got = fused_residual_stack(*args, dilation_cycle=cyc,
+                                       chunk_l=128, interpret=True,
+                                       hbm_io=True,
+                                       chunk_loop=chunk_loop, w_hbm=True)
+            assert float(jnp.abs(
+                (base - got).astype(jnp.float32)).max()) == 0.0, (
+                dt, chunk_loop)
+
+
+def test_stack_w_hbm_vmap_folds_into_batch():
+    """The EOT/NES replica ``vmap`` over the w_hbm stack folds into the
+    batch grid dim (same custom_vmap collapse as hbm_io — w_hbm rides
+    the same ANY-space restriction)."""
+    from audiopure_tpu.kernels.wavenet_block import fused_residual_stack
+
+    rng = jax.random.PRNGKey(11)
+    E, B, L, C, NL, cyc, Cs = 3, 2, 512, 8, 4, 2, 8
+    ks = jax.random.split(rng, 8)
+    xs = jax.random.normal(ks[0], (E, B, L, C))
+    tb = jax.random.normal(ks[1], (B, NL, C)) * 0.1
+    ws = (jax.random.normal(ks[2], (NL, 3, C, 2 * C)) * 0.3,
+          jax.random.normal(ks[3], (NL, 2 * C)) * 0.1,
+          jax.random.normal(ks[4], (NL, C, C)) * 0.3,
+          jax.random.normal(ks[5], (NL, C)) * 0.1,
+          jax.random.normal(ks[6], (NL, C, Cs)) * 0.3,
+          jax.random.normal(ks[7], (NL, Cs)) * 0.1)
+
+    def one(x):
+        return fused_residual_stack(
+            x, tb, *ws, dilation_cycle=cyc, chunk_l=128,
+            interpret=True, hbm_io=True, chunk_loop=True, w_hbm=True)
+
+    want = jnp.stack([one(xs[i]) for i in range(E)])
+    got = jax.vmap(one)(xs)
+    assert float(jnp.abs(got - want).max()) == 0.0
