@@ -902,7 +902,10 @@ def _fused_residual_stack_jit(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=120 * 1024 * 1024,
+            # w_hbm exists to fit the 128 MB ceiling with a ~4 MB weight
+            # working set; don't re-impose a 120 MB cap on it (the
+            # L=32000 f32 resident estimate is ~121 MB)
+            vmem_limit_bytes=(127 if w_hbm else 120) * 1024 * 1024,
         ),
         interpret=interpret,
     )(x, t_biases.reshape(B, n_cycles, cyc, C), wd,
@@ -1075,6 +1078,7 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
 
     hbm_io = False
     chunk_loop = False
+    w_hbm = False
     if block_impl == "v5" and num_res_layers % dilation_cycle == 0:
         skip_ch = p["res_block_0"]["skip_conv"]["kernel"].shape[-1]
         c_res = p["res_block_0"]["res_conv"]["kernel"].shape[-2]
@@ -1086,6 +1090,11 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
         elif mode == "chunk_loop":
             hbm_io = True
             chunk_loop = True
+            chunk_l = loop_chunk
+        elif mode == "whbm":
+            hbm_io = True
+            chunk_loop = True
+            w_hbm = True
             chunk_l = loop_chunk
         elif mode == "v4":
             block_impl = "v4"
@@ -1101,7 +1110,7 @@ def wavenet_forward_pallas(params, audio, diffusion_steps, *,
             h, *stack_in, dilation_cycle=dilation_cycle,
             chunk_l=chunk_l if chunk_loop else pick_stack_chunk(L, chunk_l),
             interpret=interpret, gate_dtype=gate_dtype, hbm_io=hbm_io,
-            chunk_loop=chunk_loop)
+            chunk_loop=chunk_loop, w_hbm=w_hbm)
         return wavenet_head(p, skip_sum, num_res_layers)
 
     skip_sum = jnp.zeros((h.shape[0], h.shape[1], skip_ch), dtype=dtype)
