@@ -673,23 +673,23 @@ def _fused_residual_stack_jit(
         # on the interpret path
         b = pl.program_id(0) if hbm_io else None
         if w_hbm:
-            (wd_s, wres_s, wsk_s, bd_s, bres_s, bsk_s,
-             sem_in, sem_out, bias_sem, *w_sems) = rest
+            (wd_s, wres_s, wsk_s, sem_in, sem_out, *w_sems) = rest
             dma_sems = (sem_in, sem_out)
             get_wd = lambda j, k: wd_s[j % 2, k]
-            get_bd = lambda j: bd_s[j]
             get_wres = lambda j: wres_s[j % 2]
-            get_bres = lambda j: bres_s[j]
             get_wsk = lambda j: wsk_s[j % 2]
-            get_bsk = lambda j: bsk_s[j]
         else:
             dma_sems = rest
             get_wd = lambda j, k: wd_ref[j, k]
-            get_bd = lambda j: bd_ref[0, j]
             get_wres = lambda j: wres_ref[j]
-            get_bres = lambda j: bres_ref[0, j]
             get_wsk = lambda j: wsk_ref[j]
-            get_bsk = lambda j: bsk_ref[0, j]
+        # biases stay blocked-VMEM in every mode: they are ~100 KB
+        # double-buffered (never the VMEM problem), and a per-cycle
+        # (cyc, dim) DMA slab would violate the Mosaic sublane-aligned
+        # slice rule (cyc=12 % 8 != 0 — probed round-5b)
+        get_bd = lambda j: bd_ref[0, j]
+        get_bres = lambda j: bres_ref[0, j]
+        get_bsk = lambda j: bsk_ref[0, j]
 
         @pl.when(c == 0)
         def _init():
@@ -707,13 +707,6 @@ def _fused_residual_stack_jit(
             skip[:] = jnp.zeros((L, skip_ch), dtype)
 
         if w_hbm:
-            # per-cycle bias slabs (~50 KB total): blocking copies
-            for src, dst in ((bd_ref.at[c], bd_s), (bres_ref.at[c], bres_s),
-                             (bsk_ref.at[c], bsk_s)):
-                cp = pltpu.make_async_copy(src, dst, bias_sem)
-                cp.start()
-                cp.wait()
-
             def start_w(j, slot):
                 """Kick the three layer-j weight DMAs into ``slot``;
                 returns the copy handles for a later wait."""
@@ -861,21 +854,21 @@ def _fused_residual_stack_jit(
         sem_scratch = []
 
     if w_hbm:
-        # weights stay in HBM (ANY) and stream through 2-slot VMEM
-        # scratch: ~4 MB resident instead of the ~2x13 MB (bf16) /
-        # ~2x25 MB (f32) double-buffered cycle windows — what rescues
-        # the f32 long-L fit (round-5b)
+        # the three BIG weight arrays stay in HBM (ANY) and stream
+        # through 2-slot VMEM scratch: ~4 MB resident instead of the
+        # ~2x13 MB (bf16) / ~2x25 MB (f32) double-buffered cycle
+        # windows — what rescues the f32 long-L fit (round-5b). Biases
+        # keep their blocked specs (tiny + the Mosaic sublane-aligned
+        # DMA-slice rule rejects (cyc=12, dim) slabs).
         any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-        weight_specs = [any_spec] * 6
+        weight_specs = [any_spec, bspec(C2), any_spec, bspec(C),
+                        any_spec, bspec(skip_ch)]
         w_scratch = [
             pltpu.VMEM((2, 3, C, C2), wd.dtype),        # wd slots
             pltpu.VMEM((2, C, C), wres.dtype),          # wres slots
             pltpu.VMEM((2, C, skip_ch), wskip.dtype),   # wskip slots
-            pltpu.VMEM((cyc, C2), bd.dtype),            # cycle bd
-            pltpu.VMEM((cyc, C), bres.dtype),           # cycle bres
-            pltpu.VMEM((cyc, skip_ch), bskip.dtype),    # cycle bskip
         ]
-        sem_scratch = sem_scratch + [pltpu.SemaphoreType.DMA] * 7
+        sem_scratch = sem_scratch + [pltpu.SemaphoreType.DMA] * 6
     else:
         weight_specs = [wspec(3, C, C2), bspec(C2), wspec(C, C),
                         bspec(C), wspec(C, skip_ch), bspec(skip_ch)]
