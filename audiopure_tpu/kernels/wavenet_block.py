@@ -963,13 +963,21 @@ def forward_dispatch_band(L: int, itemsize: int, *, c_res: int = 256,
     chunk<=2000 and 1.22-1.25x the v4 fallback, 82.4% of bf16 peak at
     b16 — round-4i). The chunk_loop fit is measurement-gated to
     f32 / L<=16000 / chunk<=2000 at <=256 channels (chunk 4000 still
-    OOMs at 139.5M); beyond that fall all the way back to v4.  The
-    L boundary is measured on BOTH sides: fits + 1.22x v4 at L=16000
-    (round-4i), OOM 143.55M of 128M at L=24000 at every chunk size
-    (round-5a), with the v4 long-L fallback measured at 60.3-61.4% of
-    bf16 peak (L=24000/32000, round-5a).  bf16 keeps the unrolled body
-    everywhere it fits (chunk_loop measured +1.5% at bf16 b4 —
-    round-4i)."""
+    OOMs at 139.5M); its L boundary is measured on BOTH sides: fits +
+    1.22x v4 at L=16000 (round-4i), OOM 143.55M of 128M at L=24000 at
+    every chunk size (round-5a).  Third resort (f32 long audio):
+    w_hbm — chunk_loop with the three big per-layer weight arrays
+    streamed from HBM through a 2-slot DMA rotation, removing the
+    36.0M double-buffered cycle-weight slab (the one resident term
+    that does not scale with L).  Measured (round-5b/5c): FIT +
+    74.6/76.2% of bf16 peak at L=24000/32000 b4 (1.24x the v4
+    fallback's 60.3-61.4%), 86.4% at L=32000 b16 (1.26x v4's 68.8%),
+    bit-exact vs v4; OOM 133.93M at L=36000 and 145.65M at L=40000 —
+    the gate is L<=32000, measured on both sides.  bf16 keeps the
+    unrolled body everywhere it fits (chunk_loop measured +1.5% at
+    bf16 b4 — round-4i); w_hbm is measurement-gated to f32 like
+    chunk_loop (at bf16 the hbm_io band already covers the KWS bucket
+    lengths)."""
     if v5_vmem_est_mb(L, itemsize, c_res=c_res, skip_ch=skip_ch) \
             <= 118.0:
         return "resident", None
@@ -985,6 +993,13 @@ def forward_dispatch_band(L: int, itemsize: int, *, c_res: int = 256,
             and skip_ch <= 256 and cyc <= 12 and loop_chunk is not None
             and chunk_l is None):
         return "chunk_loop", loop_chunk
+    # w_hbm rescue band (f32 long audio): same measurement gates as
+    # chunk_loop, L<=32000 pinned on both sides (fits 76.2-86.4% of
+    # peak at 32000, OOM 133.93M of 128M at 36000 — round-5b/5c)
+    if (itemsize == 4 and L <= 32000 and c_res <= 256
+            and skip_ch <= 256 and cyc <= 12 and loop_chunk is not None
+            and chunk_l is None):
+        return "whbm", loop_chunk
     return "v4", None
 
 

@@ -407,19 +407,30 @@ def test_forward_dispatch_bands():
       f32  L=16000  v5x + chunk_loop, chunk 2000 (unrolled v5x measured
                     OOM 156.7M of 128M — ~50M vreg spills; chunk_loop
                     measured fit, 82.4% of peak at b16)
-      f32  L=24000  v4 (chunk_loop measured OOM 143.55M of 128M at
-                    every chunk size, round-5a; the v4 fallback is
-                    measured at 60.3-61.4% of peak at L=24000/32000)
+      f32  L=24000-32000  w_hbm (chunk_loop measured OOM 143.55M of
+                    128M at every chunk size, round-5a; w_hbm streams
+                    the per-layer weights and is measured FIT at
+                    74.6-86.4% of peak, 1.24-1.26x the v4 fallback,
+                    round-5b/5c)
+      f32  L>32000  v4 (w_hbm measured OOM 133.93M at L=36000 and
+                    145.65M at L=40000 — round-5c)
 
-    An explicit chunk_l override opts out of the chunk_loop rescue
-    (measured probes force their own configuration)."""
+    An explicit chunk_l override opts out of the chunk_loop/w_hbm
+    rescues (measured probes force their own configuration)."""
     from audiopure_tpu.kernels.wavenet_block import forward_dispatch_band
 
     assert forward_dispatch_band(16000, 2) == ("resident", None)
     assert forward_dispatch_band(24000, 2) == ("hbm_io", None)
     assert forward_dispatch_band(16000, 4) == ("chunk_loop", 2000)
-    assert forward_dispatch_band(24000, 4) == ("v4", None)
+    assert forward_dispatch_band(24000, 4) == ("whbm", 2000)
+    assert forward_dispatch_band(32000, 4) == ("whbm", 2000)
+    assert forward_dispatch_band(36000, 4) == ("v4", None)
+    assert forward_dispatch_band(40000, 4) == ("v4", None)
     assert forward_dispatch_band(16000, 4, chunk_l=4000) == ("v4", None)
+    assert forward_dispatch_band(24000, 4, chunk_l=4000) == ("v4", None)
+    # w_hbm rides the same measurement gates as chunk_loop (cyc=12,
+    # <=256 ch — ADVICE r4)
+    assert forward_dispatch_band(24000, 4, cyc=14) == ("v4", None)
     # small-channel models fit resident even at f32 long audio (the
     # estimates are calibrated at 256 ch and scale by channel ratio)
     assert forward_dispatch_band(24000, 4, c_res=16, skip_ch=16) \
@@ -467,6 +478,37 @@ def test_full_forward_f32_chunk_loop_dispatch_matches_flax(monkeypatch):
         params, x, t, num_res_layers=4, dilation_cycle=2,
         embed_dim_in=16, dtype=jnp.float32, interpret=True))
     assert calls and calls[0]["chunk_loop"] and calls[0]["hbm_io"]
+    assert calls[0]["chunk_l"] == 256
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_full_forward_f32_whbm_dispatch_matches_flax(monkeypatch):
+    """The auto f32 long-audio rescue: when the band says whbm,
+    wavenet_forward_pallas must hand fused_residual_stack
+    ``hbm_io=True, chunk_loop=True, w_hbm=True`` with the band's chunk
+    — and still match flax (round-5b: bit-exact vs v4 on-chip)."""
+    from audiopure_tpu.kernels import wavenet_block as wb
+
+    net, params = _net_and_params()
+    L = 1024
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, L)) * 0.3
+    t = jnp.asarray([[5.0]])
+    want = np.asarray(net.apply(params, x, t))
+    monkeypatch.setattr(wb, "forward_dispatch_band",
+                        lambda *a, **kw: ("whbm", 256))
+    calls = []
+    orig = wb.fused_residual_stack
+
+    def spy(*a, **kw):
+        calls.append(kw)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(wb, "fused_residual_stack", spy)
+    got = np.asarray(wavenet_forward_pallas(
+        params, x, t, num_res_layers=4, dilation_cycle=2,
+        embed_dim_in=16, dtype=jnp.float32, interpret=True))
+    assert calls and calls[0]["w_hbm"] and calls[0]["chunk_loop"] \
+        and calls[0]["hbm_io"]
     assert calls[0]["chunk_l"] == 256
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
 
